@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Inference benchmark + profiler harness.
+
+Parity with the reference's benchmark.py: a timed batch-64 inference with a
+full profiler trace written to disk, then a warmed batch-size sweep
+2^0..2^7 printing batch_time / sample_time (benchmark.py:17-72). TF's
+tf.profiler is replaced by jax.profiler traces (viewable in XProf /
+TensorBoard), and block_until_ready provides honest wall-clock timing.
+
+Runs on random weights by default (no checkpoint needed, suitable for op/
+compile benchmarking) or restores --ckpt like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", default="", help="optional checkpoint dir")
+    parser.add_argument("--config_file", default="semantic.json")
+    parser.add_argument("--trace_dir", default="result/jax-trace")
+    parser.add_argument("--repeats", type=int, default=10)
+    flags = parser.parse_args()
+
+    import jax
+
+    from pointnet2_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from pointnet2_tpu.config import Config
+    from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
+
+    cfg = Config.from_json(flags.config_file)
+    trainer = Trainer(cfg=cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    if flags.ckpt:
+        state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
+
+    rng = np.random.RandomState(0)
+
+    def data(batch):
+        return rng.randn(batch, cfg.num_point, cfg.point_dim).astype(np.float32)
+
+    # Warm up + profile at batch 64 (benchmark.py:17-54).
+    batch_size = 64
+    x = data(batch_size)
+    trainer.predict_step(state, x).block_until_ready()
+
+    os.makedirs(flags.trace_dir, exist_ok=True)
+    with jax.profiler.trace(flags.trace_dir):
+        s = time.time()
+        trainer.predict_step(state, x).block_until_ready()
+        batch_time = time.time() - s
+    print(
+        f"Batch size: {batch_size}, batch_time: {batch_time}, "
+        f"sample_time: {batch_time / batch_size}"
+    )
+    print(f"Profiler trace written to {flags.trace_dir}")
+
+    # Batch sweep with warmup (benchmark.py:56-72).
+    for batch_size in [2**n for n in range(8)]:
+        x = data(batch_size)
+        trainer.predict_step(state, x).block_until_ready()  # warm up / compile
+        times = []
+        for _ in range(flags.repeats):
+            s = time.time()
+            trainer.predict_step(state, x).block_until_ready()
+            times.append(time.time() - s)
+        batch_time = float(np.median(times))
+        print(
+            f"Batch size: {batch_size}, batch_time: {batch_time}, "
+            f"sample_time: {batch_time / batch_size}, "
+            f"points_per_sec: {batch_size * cfg.num_point / batch_time:.0f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

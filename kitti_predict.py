@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""KITTI streaming inference: fused predict + densify per Velodyne frame.
+
+CLI parity with the reference's kitti_predict.py: loads a drive, crops each
+frame near the origin, runs the no-color model on one fixed-size sample, then
+densifies labels to the full cropped frame — and reports a per-stage timer
+with FPS (kitti_predict.py:107-227).
+
+The reference fuses model + argmax + InterpolateLabelWithColor into one TF
+graph (one sess.run, :30-104). Here both stages are jitted on TPU: the
+predict step and the device brute-force KNN densifier run back-to-back
+without leaving HBM (frames are ~10^5 points, well within brute-force range);
+--save writes dense .pcd/.labels like the reference. Headless: rendering is
+delegated to visualize.py on the saved outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    np.random.seed(0)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_samples", type=int, default=8)
+    parser.add_argument("--ckpt", default="", required=True, help="Checkpoint dir")
+    parser.add_argument("--save", action="store_true", default=False)
+    parser.add_argument("--kitti_root", default="", required=True)
+    parser.add_argument("--config_file", default="semantic_no_color.json")
+    parser.add_argument("--dates", nargs="+", default=["2011_09_26"])
+    parser.add_argument("--drives", nargs="+", default=["0095"])
+    flags = parser.parse_args()
+
+    import jax
+
+    from pointnet2_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from pointnet2_tpu.config import Config
+    from pointnet2_tpu.data.io import write_labels, write_pcd
+    from pointnet2_tpu.data.kitti import KittiDataset
+    from pointnet2_tpu.ops.densify import densify_labels
+    from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
+
+    cfg = Config.from_json(flags.config_file)
+
+    sparse_dir = os.path.join("result", "sparse")
+    dense_dir = os.path.join("result", "dense")
+    os.makedirs(sparse_dir, exist_ok=True)
+    os.makedirs(dense_dir, exist_ok=True)
+
+    dataset = KittiDataset(
+        num_points_per_sample=cfg.num_point,
+        base_dir=flags.kitti_root,
+        dates=flags.dates,
+        drives=flags.drives,
+        box_size_x=cfg.box_size_x,
+        box_size_y=cfg.box_size_y,
+    )
+
+    trainer = Trainer(cfg=cfg, num_classes=dataset.num_classes)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
+    print("Model restored")
+
+    for kitti_file_data in dataset.list_file_data:
+        timer = {
+            "load_data": 0.0,
+            "predict_interpolate": 0.0,
+            "visualize": 0.0,
+            "write_data": 0.0,
+            "total": 0.0,
+        }
+        global_start = time.time()
+
+        start = time.time()
+        centered, raw = kitti_file_data.get_batch_of_one_z_box_from_origin(
+            num_points_per_sample=cfg.num_point
+        )
+        timer["load_data"] += time.time() - start
+
+        start = time.time()
+        dense_points = kitti_file_data.points
+        sparse_labels = np.asarray(
+            trainer.predict_step(state, centered.astype(np.float32))
+        ).reshape(-1)
+        dense_labels, dense_colors = densify_labels(
+            raw.reshape(-1, 3).astype(np.float32),
+            sparse_labels,
+            dense_points.astype(np.float32),
+            knn=3,
+            engine="device",
+        )
+        timer["predict_interpolate"] += time.time() - start
+
+        if flags.save:
+            start = time.time()
+            prefix = os.path.basename(kitti_file_data.file_path_without_ext)
+            pcd_path = os.path.join(dense_dir, prefix + ".pcd")
+            write_pcd(pcd_path, dense_points, np.asarray(dense_colors) / 255.0)
+            print(f"Exported dense_pcd to {pcd_path}")
+            labels_path = os.path.join(dense_dir, prefix + ".labels")
+            write_labels(labels_path, dense_labels)
+            print(f"Exported dense_labels to {labels_path}")
+            timer["write_data"] += time.time() - start
+
+        timer["total"] += time.time() - global_start
+        fmt = "[{:5.2f} FPS] " + ": {:.04f}, ".join(timer.keys()) + ": {:.04f}"
+        print(fmt.format(1.0 / max(timer["total"], 1e-9), *timer.values()))
+
+
+if __name__ == "__main__":
+    main()

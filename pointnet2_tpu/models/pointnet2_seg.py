@@ -1,0 +1,103 @@
+"""PointNet++ SSG semantic segmentation network.
+
+Architecture parity with the reference model (model.py:22-148):
+
+    input (B, N, 3[+3 rgb])
+    SA1: FPS->l1_npoint, r=l1_radius, k=32, MLP [32,32,64]
+    SA2: ->l2_npoint, r=l2_radius, MLP [64,64,128]
+    SA3: ->l3_npoint, r=l3_radius, MLP [128,128,256]
+    SA4: ->l4_npoint, r=l4_radius, MLP [256,256,512]
+    FP1..FP4: [256,256] / [256,256] / [256,128] / [128,128,128]
+    head: Dense 128 + BN + ReLU -> Dropout 0.5 -> Dense num_classes
+
+Loss parity with model.py:152-161 (weighted sparse softmax CE with TF's
+SUM_BY_NONZERO_WEIGHTS reduction).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pointnet2_tpu.config import Config
+from pointnet2_tpu.nn.layers import BatchNorm, SharedMLP
+from pointnet2_tpu.nn.pointnet import FeaturePropagation, SetAbstraction
+
+SA_MLPS = ([32, 32, 64], [64, 64, 128], [128, 128, 256], [256, 256, 512])
+FP_MLPS = ([256, 256], [256, 256], [256, 128], [128, 128, 128])
+
+
+class PointNet2SemSeg(nn.Module):
+    """Flagship segmentation model. Input (B, N, 3+feature_size) -> logits (B, N, C)."""
+
+    num_classes: int = 9
+    use_color: bool = True
+    config: Optional[Config] = None
+    ops_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
+        cfg = self.config or Config()
+        if self.use_color:
+            l0_xyz = point_cloud[..., :3]
+            l0_points = point_cloud[..., 3:6]
+        else:
+            l0_xyz = point_cloud[..., :3]
+            l0_points = None
+
+        xyzs = [l0_xyz]
+        feats = [l0_points]
+        for i, (spec, mlp) in enumerate(zip(cfg.sa_layers, SA_MLPS)):
+            new_xyz, new_points, _ = SetAbstraction(
+                npoint=spec.npoint,
+                radius=spec.radius,
+                nsample=spec.nsample,
+                mlp=mlp,
+                ops_impl=self.ops_impl,
+                name=f"sa{i + 1}",
+            )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
+            xyzs.append(new_xyz)
+            feats.append(new_points)
+
+        # Feature propagation: coarse -> fine (model.py:90-129).
+        for i, mlp in enumerate(FP_MLPS):
+            lvl = 3 - i  # target level: 3, 2, 1, 0
+            feats[lvl] = FeaturePropagation(mlp=mlp, name=f"fp{i + 1}")(
+                xyzs[lvl],
+                xyzs[lvl + 1],
+                feats[lvl],
+                feats[lvl + 1],
+                train=train,
+                bn_momentum=bn_momentum,
+            )
+
+        net = nn.Dense(
+            128, kernel_init=nn.initializers.xavier_uniform(), name="fc1"
+        )(feats[0])
+        net = BatchNorm(name="fc1_bn")(net, train=train, momentum=bn_momentum)
+        net = nn.relu(net)
+        net = nn.Dropout(rate=0.5, deterministic=not train, name="dp1")(net)
+        logits = nn.Dense(
+            self.num_classes, kernel_init=nn.initializers.xavier_uniform(), name="fc2"
+        )(net)
+        return logits
+
+
+def weighted_ce_loss(logits, labels, weights):
+    """Weighted sparse softmax cross entropy.
+
+    Matches tf.losses.sparse_softmax_cross_entropy(labels, logits, weights)
+    as called in model.py:156-158: per-point CE scaled by the point weight,
+    summed, divided by the number of non-zero weights
+    (tf.losses.Reduction.SUM_BY_NONZERO_WEIGHTS).
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[
+        ..., 0
+    ]
+    w = weights.astype(jnp.float32)
+    num_nonzero = jnp.sum(w != 0.0)
+    return jnp.sum(ce * w) / jnp.maximum(num_nonzero, 1.0)

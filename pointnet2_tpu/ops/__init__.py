@@ -1,0 +1,77 @@
+"""Point-set operators: public API with backend dispatch.
+
+Each operator has:
+- a NumPy oracle in ``pointnet2_tpu.ops.reference`` (test golden),
+- an XLA implementation in ``pointnet2_tpu.ops.core`` (any backend),
+- for the hot ops, a Pallas TPU kernel in ``pointnet2_tpu.ops.pallas``.
+
+The public functions here auto-dispatch: Pallas on TPU, XLA elsewhere.
+Pass ``impl="xla"`` / ``impl="pallas"`` to force a path.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from pointnet2_tpu.ops.core import (
+    ball_query_xla,
+    farthest_point_sample_xla,
+    gather_points,
+    group_points,
+    interpolation_weights,
+    knn_xla,
+    prob_sample,
+    select_top_k,
+    three_interpolate,
+    three_nn_xla,
+)
+from pointnet2_tpu.ops.pallas import ball_query_pallas, farthest_point_sample_pallas
+
+__all__ = [
+    "farthest_point_sample",
+    "gather_points",
+    "prob_sample",
+    "ball_query",
+    "group_points",
+    "knn",
+    "select_top_k",
+    "three_nn",
+    "three_interpolate",
+    "interpolation_weights",
+]
+
+
+def _use_pallas(impl: str | None) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    if impl is not None:
+        raise ValueError(f"unknown impl {impl!r}, expected 'xla'/'pallas'/None")
+    return jax.default_backend() == "tpu"
+
+
+def farthest_point_sample(xyz, npoint: int, impl: str | None = None):
+    """(B, N, 3) -> (B, npoint) int32 FPS indices (tf_ops/tf_sampling.cu:111)."""
+    if _use_pallas(impl):
+        return farthest_point_sample_pallas(xyz, npoint)
+    return farthest_point_sample_xla(xyz, npoint)
+
+
+def ball_query(xyz1, xyz2, radius: float, nsample: int, impl: str | None = None):
+    """First-nsample-in-ball radius search (tf_ops/tf_grouping.cu:3-43)."""
+    if _use_pallas(impl):
+        return ball_query_pallas(xyz1, xyz2, radius, nsample)
+    return ball_query_xla(xyz1, xyz2, radius, nsample)
+
+
+def knn(xyz1, xyz2, k: int, impl: str | None = None):
+    """k exact nearest neighbors, squared distances (tf_ops/tf_grouping.py:66)."""
+    del impl
+    return knn_xla(xyz1, xyz2, k)
+
+
+def three_nn(xyz1, xyz2, impl: str | None = None):
+    """Exact 3-NN with squared distances (tf_ops/tf_interpolate.cpp:213-243)."""
+    del impl
+    return three_nn_xla(xyz1, xyz2)

@@ -1,0 +1,11 @@
+"""Pallas TPU kernels for the hot point-set operators.
+
+Each kernel has identical semantics to its XLA counterpart in
+``pointnet2_tpu.ops.core`` (which is itself validated against the NumPy
+oracles in ``pointnet2_tpu.ops.reference``).
+"""
+
+from pointnet2_tpu.ops.pallas.fps import farthest_point_sample_pallas
+from pointnet2_tpu.ops.pallas.ballquery import ball_query_pallas
+
+__all__ = ["farthest_point_sample_pallas", "ball_query_pallas"]

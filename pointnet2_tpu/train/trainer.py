@@ -1,0 +1,204 @@
+"""Jitted training/eval steps, schedules, and orbax checkpointing.
+
+TPU-first replacement for the reference train loop (train.py:333-465):
+- one fused XLA program per step: forward, weighted CE loss
+  (model.py:152-161), backward, Adam/momentum update, BN moving-stat update,
+  device-side confusion matrix (replacing the O(B*N) Python loop at
+  train.py:249-251);
+- staircase exponential LR with a 1e-5 floor (train.py:80-98) and the BN
+  momentum schedule (train.py:101-119) evaluated in-graph from the step
+  counter;
+- batch donated, parameters replicated, batch sharded over the data mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from pointnet2_tpu.config import Config
+from pointnet2_tpu.models import PointNet2SemSeg, weighted_ce_loss
+from pointnet2_tpu.utils.metrics import confusion_matrix_jax
+
+
+def learning_rate_schedule(cfg: Config):
+    """Staircase exponential decay with floor (train.py:80-98)."""
+
+    def schedule(step):
+        exponent = jnp.floor(
+            step.astype(jnp.float32) * cfg.batch_size / cfg.decay_step
+        )
+        lr = cfg.learning_rate * jnp.power(cfg.learning_rate_decay_rate, exponent)
+        return jnp.maximum(lr, 1e-5)
+
+    return schedule
+
+
+def bn_momentum_schedule(cfg: Config):
+    """BN EMA coefficient schedule (train.py:101-119).
+
+    Returns the *decay* passed to batch_norm: min(clip, 1 - momentum_decayed).
+    """
+
+    def schedule(step):
+        exponent = jnp.floor(
+            jnp.asarray(step, jnp.float32) * cfg.batch_size / cfg.decay_step
+        )
+        bn_momentum = cfg.bn_init_decay * jnp.power(
+            cfg.bn_decay_decay_rate, exponent
+        )
+        return jnp.minimum(cfg.bn_decay_clip, 1.0 - bn_momentum)
+
+    return schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Owns the model, optimizer, and compiled train/eval steps."""
+
+    cfg: Config
+    num_classes: int = 9
+    ops_impl: Optional[str] = None
+
+    def __post_init__(self):
+        self.model = PointNet2SemSeg(
+            num_classes=self.num_classes,
+            use_color=bool(self.cfg.use_color),
+            config=self.cfg,
+            ops_impl=self.ops_impl,
+        )
+        self.lr_schedule = learning_rate_schedule(self.cfg)
+        self.bn_schedule = bn_momentum_schedule(self.cfg)
+        if self.cfg.optimizer == "momentum":
+            self.tx = optax.sgd(self.lr_schedule, momentum=self.cfg.momentum)
+        elif self.cfg.optimizer == "adam":
+            self.tx = optax.adam(self.lr_schedule)
+        else:
+            raise ValueError(f"unknown optimizer {self.cfg.optimizer!r}")
+        # jit per-instance closures (Trainer itself is not hashable).
+        self.train_step = jax.jit(self._train_step, donate_argnums=0)
+        self.eval_step = jax.jit(self._eval_step)
+        self.predict_step = jax.jit(self._predict_step)
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        dummy = jnp.zeros(
+            (1, self.cfg.num_point, self.cfg.point_dim), jnp.float32
+        )
+        variables = self.model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            dummy,
+            train=False,
+            bn_momentum=0.9,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+
+    # -- steps ------------------------------------------------------------
+
+    def _train_step(self, state: TrainState, batch: dict, dropout_rng: jax.Array):
+        """One optimizer step. batch: points (B,N,D), labels (B,N), weights (B,N)."""
+        bn_momentum = self.bn_schedule(state.step)
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_fn(params):
+            logits, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"],
+                train=True,
+                bn_momentum=bn_momentum,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            loss = weighted_ce_loss(logits, batch["labels"], batch["weights"])
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "accuracy": jnp.mean((preds == batch["labels"]).astype(jnp.float32)),
+            "confusion": confusion_matrix_jax(
+                batch["labels"], preds, self.num_classes
+            ),
+            "learning_rate": self.lr_schedule(state.step),
+            "bn_decay": bn_momentum,
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    def _eval_step(self, state: TrainState, batch: dict):
+        logits = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["points"],
+            train=False,
+            bn_momentum=0.9,
+        )
+        loss = weighted_ce_loss(logits, batch["labels"], batch["weights"])
+        preds = jnp.argmax(logits, axis=-1)
+        return {
+            "loss": loss,
+            "accuracy": jnp.mean((preds == batch["labels"]).astype(jnp.float32)),
+            "confusion": confusion_matrix_jax(
+                batch["labels"], preds, self.num_classes
+            ),
+            "preds": preds,
+        }
+
+    def _predict_step(self, state: TrainState, points: jax.Array):
+        """Inference logits -> argmax labels (predict.py:65-91)."""
+        logits = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points,
+            train=False,
+            bn_momentum=0.9,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+# -- checkpointing ---------------------------------------------------------
+
+
+def save_checkpoint(path, state: TrainState) -> None:
+    """Orbax checkpoint (replaces tf.train.Saver, train.py:391,443-460)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(lambda x: jnp.asarray(x), state), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template)

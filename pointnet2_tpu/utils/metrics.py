@@ -1,0 +1,108 @@
+"""Confusion-matrix metrics with Semantic3D label-0-ignored semantics.
+
+API-compatible with the reference's util/metric.py ConfusionMatrix, but the
+batch update paths are vectorized (np.bincount) instead of the reference's
+per-point Python loop (train.py:249-251, a known hot spot), and there is a
+jax-side update so the matrix can be accumulated on-device inside the jitted
+train step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def confusion_matrix_jax(labels, preds, num_classes: int):
+    """Device-side (B, N) labels/preds -> (C, C) int32 confusion matrix.
+
+    Jit-friendly: one scatter-add over flattened gt*C+pd bins.
+    """
+    import jax.numpy as jnp
+
+    flat = labels.reshape(-1).astype(jnp.int32) * num_classes + preds.reshape(
+        -1
+    ).astype(jnp.int32)
+    counts = jnp.zeros((num_classes * num_classes,), jnp.int32).at[flat].add(1)
+    return counts.reshape(num_classes, num_classes)
+
+
+class ConfusionMatrix:
+    """Reference-parity metrics (util/metric.py:7-124)."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.confusion_matrix = np.zeros((num_classes, num_classes), dtype=np.int64)
+
+    def increment(self, gt_label: int, pd_label: int) -> None:
+        if not (0 <= gt_label < self.num_classes):
+            raise ValueError("Invalid value for gt_label")
+        if not (0 <= pd_label < self.num_classes):
+            raise ValueError("Invalid value for pd_label")
+        self.confusion_matrix[gt_label, pd_label] += 1
+
+    def increment_from_list(self, gt_labels, pd_labels) -> None:
+        gt = np.asarray(gt_labels).reshape(-1).astype(np.int64)
+        pd = np.asarray(pd_labels).reshape(-1).astype(np.int64)
+        if gt.shape != pd.shape:
+            raise ValueError("gt_labels and pd_labels must have the same length")
+        if (gt < 0).any() or (gt >= self.num_classes).any():
+            raise ValueError("Invalid value for gt_label")
+        if (pd < 0).any() or (pd >= self.num_classes).any():
+            raise ValueError("Invalid value for pd_label")
+        binned = np.bincount(
+            gt * self.num_classes + pd, minlength=self.num_classes**2
+        )
+        self.confusion_matrix += binned.reshape(self.num_classes, self.num_classes)
+
+    def increment_from_matrix(self, cm) -> None:
+        """Accumulate a (C, C) matrix produced by confusion_matrix_jax."""
+        self.confusion_matrix += np.asarray(cm, dtype=np.int64)
+
+    def get_per_class_ious(self) -> list[float]:
+        """IoU per class, ignoring label 0 entirely (gt==0 rows AND pd==0 cols).
+
+        Semantic3D convention, util/metric.py:32-65.
+        """
+        if (self.confusion_matrix[:, 0] != 0).any():
+            print(
+                "[Warn] Contains prediction of label 0:", self.confusion_matrix[:, 0]
+            )
+        valid = self.confusion_matrix[1:, 1:]
+        ious = []
+        for c in range(len(valid)):
+            intersection = valid[c, c]
+            union = valid[c, :].sum() + valid[:, c].sum() - intersection
+            ious.append(float(intersection) / max(union, 1))
+        return ious
+
+    def get_mean_iou(self) -> float:
+        ious = self.get_per_class_ious()
+        return float(np.sum(ious) / len(ious))
+
+    def get_accuracy(self) -> float:
+        valid = self.confusion_matrix[1:, 1:]
+        total = valid.sum()
+        return float(np.trace(valid)) / total if total else 0.0
+
+    def print_metrics(self, labels=None) -> None:
+        print("Confusion matrix:")
+        if labels is None:
+            labels = [str(v) for v in range(self.num_classes)]
+        elif len(labels) != self.num_classes:
+            raise ValueError("len(labels) != self.num_classes")
+        width = max([len(x) for x in labels] + [7])
+        print("    " + " " * width, end=" ")
+        for label in labels:
+            print(f"%{width}s" % label, end=" ")
+        print()
+        for i, label in enumerate(labels):
+            print(f"    %{width}s" % label, end=" ")
+            for j in range(len(labels)):
+                print(f"%{width}.0f" % self.confusion_matrix[i, j], end=" ")
+            print()
+        print("IoU per class:")
+        print(self.get_per_class_ious())
+        print("mIoU (ignoring label 0):")
+        print(self.get_mean_iou())
+        print("Overall accuracy")
+        print(self.get_accuracy())

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Sparse multi-sample inference on Semantic3D scenes (TPU).
+
+CLI parity with the reference's predict.py: restores a checkpoint, samples
+each scene --num_samples times in batches, argmaxes logits, writes
+result/sparse/<scene>.pcd + .labels, and prints a confusion matrix over the
+ground-truth labels of the sampled points (predict.py:108-205).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    np.random.seed(0)
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--num_samples",
+        type=int,
+        default=8,
+        help="# samples, each contains num_point points_centered",
+    )
+    parser.add_argument("--ckpt", default="", help="Checkpoint dir", required=True)
+    parser.add_argument("--set", default="validation", help="train, validation, test")
+    parser.add_argument("--config_file", default="semantic.json")
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--output_dir", default=os.path.join("result", "sparse"))
+    flags = parser.parse_args()
+
+    import jax
+
+    from pointnet2_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from pointnet2_tpu.config import Config
+    from pointnet2_tpu.data.io import write_labels, write_pcd
+    from pointnet2_tpu.data.semantic3d import SemanticDataset
+    from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
+    from pointnet2_tpu.utils.metrics import ConfusionMatrix
+
+    cfg = Config.from_json(flags.config_file)
+    os.makedirs(flags.output_dir, exist_ok=True)
+
+    dataset = SemanticDataset(
+        num_points_per_sample=cfg.num_point,
+        split=flags.set,
+        box_size_x=cfg.box_size_x,
+        box_size_y=cfg.box_size_y,
+        use_color=bool(cfg.use_color),
+        path=cfg.data_path,
+        seed=0,
+    )
+    trainer = Trainer(cfg=cfg, num_classes=dataset.num_classes)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
+    print("Model restored")
+
+    batch_size = flags.batch_size
+    cm = ConfusionMatrix(dataset.num_classes)
+
+    for file_data in dataset.list_file_data:
+        print(f"Processing {file_data.file_path_without_ext}")
+        points_collector: list[np.ndarray] = []
+        pd_labels_collector: list[np.ndarray] = []
+
+        for batch_index in range(int(np.ceil(flags.num_samples / batch_size))):
+            current = min(batch_size, flags.num_samples - batch_index * batch_size)
+            centered, raw, gt_labels, colors = file_data.sample_batch(
+                batch_size=current, num_points_per_sample=cfg.num_point
+            )
+            if cfg.use_color:
+                inputs = np.concatenate((centered, colors), axis=-1)
+            else:
+                inputs = centered
+            # pad to full batch for a single compiled shape
+            pad = batch_size - current
+            if pad:
+                inputs = np.concatenate([inputs, np.zeros((pad,) + inputs.shape[1:])])
+            s = time.time()
+            pred = np.asarray(
+                trainer.predict_step(state, inputs.astype(np.float32))
+            )[:current]
+            print(f"Batch size: {current}, time: {time.time() - s}")
+
+            points_collector.extend(raw)
+            pd_labels_collector.extend(pred)
+            if flags.set != "test":
+                cm.increment_from_list(gt_labels.flatten(), pred.flatten())
+
+        prefix = os.path.basename(file_data.file_path_without_ext)
+        sparse_points = np.array(points_collector).reshape((-1, 3))
+        pcd_path = os.path.join(flags.output_dir, prefix + ".pcd")
+        write_pcd(pcd_path, sparse_points)
+        print(f"Exported sparse pcd to {pcd_path}")
+        labels_path = os.path.join(flags.output_dir, prefix + ".labels")
+        write_labels(labels_path, np.array(pd_labels_collector).flatten())
+        print(f"Exported sparse labels to {labels_path}")
+
+    if flags.set != "test":
+        cm.print_metrics()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Model shape/parity tests: forward shapes per SURVEY §3.4, BN/dropout
+behavior, loss semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet2_tpu.config import Config
+from pointnet2_tpu.models import PointNet2SemSeg, weighted_ce_loss
+from pointnet2_tpu.nn.layers import BatchNorm
+from pointnet2_tpu.nn.pointnet import FeaturePropagation, SetAbstraction
+
+# Scaled-down config so CPU tests stay fast; ratios match semantic.json.
+SMALL = Config(
+    num_point=512,
+    l1_npoint=128,
+    l2_npoint=64,
+    l3_npoint=32,
+    l4_npoint=16,
+    l1_radius=0.2,
+    l2_radius=0.4,
+    l3_radius=0.8,
+    l4_radius=1.6,
+    l1_nsample=8,
+    l2_nsample=8,
+    l3_nsample=8,
+    l4_nsample=8,
+)
+
+
+def _init(model, x, train=False):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    return model.init(rngs, x, train=train, bn_momentum=0.9)
+
+
+class TestSetAbstraction:
+    def test_shapes(self, rng):
+        xyz = jnp.asarray(rng.rand(2, 128, 3), jnp.float32)
+        feats = jnp.asarray(rng.rand(2, 128, 6), jnp.float32)
+        sa = SetAbstraction(npoint=32, radius=0.4, nsample=8, mlp=[16, 32])
+        variables = sa.init(
+            jax.random.PRNGKey(0), xyz, feats, train=False, bn_momentum=0.9
+        )
+        new_xyz, new_points, idx = sa.apply(
+            variables, xyz, feats, train=False, bn_momentum=0.9
+        )
+        assert new_xyz.shape == (2, 32, 3)
+        assert new_points.shape == (2, 32, 32)
+        assert idx.shape == (2, 32, 8)
+
+    @pytest.mark.parametrize("pooling", ["max", "avg", "weighted_avg", "max_and_avg"])
+    def test_pooling_modes(self, rng, pooling):
+        xyz = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+        sa = SetAbstraction(
+            npoint=16, radius=0.5, nsample=4, mlp=[8], pooling=pooling
+        )
+        variables = sa.init(
+            jax.random.PRNGKey(0), xyz, None, train=False, bn_momentum=0.9
+        )
+        _, new_points, _ = sa.apply(
+            variables, xyz, None, train=False, bn_momentum=0.9
+        )
+        want_c = 16 if pooling == "max_and_avg" else 8
+        assert new_points.shape == (1, 16, want_c)
+
+    def test_group_all(self, rng):
+        xyz = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+        feats = jnp.asarray(rng.rand(1, 64, 4), jnp.float32)
+        sa = SetAbstraction(
+            npoint=0, radius=0.0, nsample=0, mlp=[8], group_all=True
+        )
+        variables = sa.init(
+            jax.random.PRNGKey(0), xyz, feats, train=False, bn_momentum=0.9
+        )
+        new_xyz, new_points, _ = sa.apply(
+            variables, xyz, feats, train=False, bn_momentum=0.9
+        )
+        assert new_xyz.shape == (1, 1, 3)
+        assert float(jnp.abs(new_xyz).max()) == 0.0
+        assert new_points.shape == (1, 1, 8)
+
+
+class TestFeaturePropagation:
+    def test_shapes_and_exact_interp_at_source(self, rng):
+        # A dense point co-located with a sparse point must (nearly) inherit
+        # its feature before the MLP: verified indirectly by shape + finite.
+        xyz1 = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+        xyz2 = jnp.asarray(rng.rand(2, 16, 3), jnp.float32)
+        p1 = jnp.asarray(rng.rand(2, 64, 5), jnp.float32)
+        p2 = jnp.asarray(rng.rand(2, 16, 7), jnp.float32)
+        fp = FeaturePropagation(mlp=[32, 16])
+        variables = fp.init(
+            jax.random.PRNGKey(0), xyz1, xyz2, p1, p2, train=False, bn_momentum=0.9
+        )
+        out = fp.apply(variables, xyz1, xyz2, p1, p2, train=False, bn_momentum=0.9)
+        assert out.shape == (2, 64, 16)
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestBatchNorm:
+    def test_train_normalizes_and_updates_stats(self, rng):
+        x = jnp.asarray(rng.randn(32, 4) * 3 + 5, jnp.float32)
+        bn = BatchNorm()
+        variables = bn.init(jax.random.PRNGKey(0), x, train=True, momentum=0.5)
+        y, mutated = bn.apply(
+            variables, x, train=True, momentum=0.5, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(np.asarray(y.mean(0)), 0.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y.std(0)), 1.0, atol=1e-2)
+        # moving = 0*0.5 + batch*0.5
+        np.testing.assert_allclose(
+            np.asarray(mutated["batch_stats"]["mean"]),
+            np.asarray(x.mean(0)) * 0.5,
+            rtol=1e-5,
+        )
+
+    def test_eval_uses_running_stats(self, rng):
+        x = jnp.asarray(rng.randn(8, 4), jnp.float32)
+        bn = BatchNorm()
+        variables = bn.init(jax.random.PRNGKey(0), x, train=True, momentum=0.9)
+        y = bn.apply(variables, x, train=False, momentum=0.9)
+        # fresh stats: mean 0 var 1 -> identity modulo epsilon scaling
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x) / np.sqrt(1 + 1e-3), rtol=1e-5
+        )
+
+
+class TestModel:
+    def test_forward_shapes(self, rng):
+        x = jnp.asarray(rng.rand(2, SMALL.num_point, 6), jnp.float32)
+        model = PointNet2SemSeg(num_classes=9, use_color=True, config=SMALL)
+        variables = _init(model, x)
+        logits = model.apply(variables, x, train=False, bn_momentum=0.9)
+        assert logits.shape == (2, SMALL.num_point, 9)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_no_color_variant(self, rng):
+        x = jnp.asarray(rng.rand(1, SMALL.num_point, 3), jnp.float32)
+        model = PointNet2SemSeg(num_classes=9, use_color=False, config=SMALL)
+        variables = _init(model, x)
+        logits = model.apply(variables, x, train=False, bn_momentum=0.9)
+        assert logits.shape == (1, SMALL.num_point, 9)
+
+    def test_dropout_only_in_train(self, rng):
+        x = jnp.asarray(rng.rand(1, SMALL.num_point, 6), jnp.float32)
+        model = PointNet2SemSeg(num_classes=9, use_color=True, config=SMALL)
+        variables = _init(model, x)
+        a = model.apply(variables, x, train=False, bn_momentum=0.9)
+        b = model.apply(variables, x, train=False, bn_momentum=0.9)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        t1, _ = model.apply(
+            variables,
+            x,
+            train=True,
+            bn_momentum=0.9,
+            rngs={"dropout": jax.random.PRNGKey(7)},
+            mutable=["batch_stats"],
+        )
+        t2, _ = model.apply(
+            variables,
+            x,
+            train=True,
+            bn_momentum=0.9,
+            rngs={"dropout": jax.random.PRNGKey(8)},
+            mutable=["batch_stats"],
+        )
+        assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 0
+
+    def test_param_count_matches_reference_architecture(self, rng):
+        # Channel plan is fixed by SA_MLPS/FP_MLPS; independent of npoint.
+        x = jnp.asarray(rng.rand(1, SMALL.num_point, 6), jnp.float32)
+        model = PointNet2SemSeg(num_classes=9, use_color=True, config=SMALL)
+        variables = _init(model, x)
+        n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+        # Computed by hand from SURVEY §3.4 channel plan (dense kernels +
+        # biases + BN scale/bias): must stay stable.
+        assert 900_000 < n_params < 1_100_000
+
+
+class TestLoss:
+    def test_sum_by_nonzero_weights(self, rng):
+        logits = jnp.asarray(rng.randn(2, 8, 5), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, 5, (2, 8)))
+        w = np.ones((2, 8), np.float32)
+        w[0, :4] = 0.0
+        got = weighted_ce_loss(logits, labels, jnp.asarray(w))
+        logp = jax.nn.log_softmax(logits, -1)
+        ce = -np.take_along_axis(np.asarray(logp), np.asarray(labels)[..., None], -1)[
+            ..., 0
+        ]
+        want = (ce * w).sum() / (w != 0).sum()
+        np.testing.assert_allclose(float(got), want, rtol=1e-6)
+
+    def test_all_zero_weights_gives_zero(self, rng):
+        logits = jnp.asarray(rng.randn(1, 4, 3), jnp.float32)
+        labels = jnp.zeros((1, 4), jnp.int32)
+        loss = weighted_ce_loss(logits, labels, jnp.zeros((1, 4)))
+        assert float(loss) == 0.0

@@ -1,0 +1,44 @@
+"""Pallas kernels vs NumPy oracles, run in TPU-interpret mode on CPU."""
+
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pointnet2_tpu.ops import reference
+from pointnet2_tpu.ops.pallas import ball_query_pallas, farthest_point_sample_pallas
+
+
+def _cloud(rng, b, n, scale=2.0):
+    return (rng.rand(b, n, 3) * scale).astype(np.float32)
+
+
+@pytest.mark.parametrize("b,n,m", [(2, 128, 16), (1, 200, 32), (3, 64, 64)])
+def test_fps_pallas_matches_numpy(rng, b, n, m):
+    xyz = _cloud(rng, b, n)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(farthest_point_sample_pallas(xyz, m))
+    want = reference.farthest_point_sample_np(xyz, m)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "b,n,m,radius,nsample",
+    [(2, 128, 128, 0.3, 8), (1, 300, 128, 0.5, 4), (2, 64, 32, 0.8, 16)],
+)
+def test_ball_query_pallas_matches_numpy(rng, b, n, m, radius, nsample):
+    xyz1 = _cloud(rng, b, n, scale=1.0)
+    xyz2 = _cloud(rng, b, m, scale=1.0)
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_cnt = ball_query_pallas(xyz1, xyz2, radius, nsample)
+    want_idx, want_cnt = reference.ball_query_np(xyz1, xyz2, radius, nsample)
+    np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+
+
+def test_ball_query_pallas_empty_ball(rng):
+    xyz1 = np.zeros((1, 64, 3), np.float32)
+    xyz2 = np.full((1, 32, 3), 50.0, np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        idx, cnt = ball_query_pallas(xyz1, xyz2, 0.5, 4)
+    assert np.asarray(cnt).sum() == 0
+    np.testing.assert_array_equal(np.asarray(idx), 0)

@@ -1,0 +1,152 @@
+"""Training smoke tests: loss decreases on synthetic data, schedules match
+the reference formulas, checkpoint round-trip, multi-device sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pointnet2_tpu.config import Config
+from pointnet2_tpu.parallel import batch_sharding, create_mesh, shard_batch
+from pointnet2_tpu.train.trainer import (
+    Trainer,
+    bn_momentum_schedule,
+    learning_rate_schedule,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+TINY = Config(
+    num_point=128,
+    batch_size=8,
+    l1_npoint=32,
+    l2_npoint=16,
+    l3_npoint=8,
+    l4_npoint=4,
+    l1_radius=0.3,
+    l2_radius=0.6,
+    l3_radius=1.2,
+    l4_radius=2.4,
+    l1_nsample=8,
+    l2_nsample=8,
+    l3_nsample=4,
+    l4_nsample=4,
+)
+
+
+def _synthetic_batch(rng, cfg, b=8):
+    """Separable toy task: class depends on z-height."""
+    pts = rng.rand(b, cfg.num_point, 6).astype(np.float32)
+    labels = 1 + (pts[:, :, 2] > 0.5).astype(np.int32)  # classes 1, 2
+    return {
+        "points": jnp.asarray(pts),
+        "labels": jnp.asarray(labels),
+        "weights": jnp.ones((b, cfg.num_point), jnp.float32),
+    }
+
+
+class TestSchedules:
+    def test_learning_rate_staircase_and_floor(self):
+        cfg = Config(learning_rate=0.001, batch_size=16, decay_step=200000,
+                     learning_rate_decay_rate=0.7)
+        sched = learning_rate_schedule(cfg)
+        assert float(sched(jnp.int32(0))) == pytest.approx(0.001)
+        # one staircase drop at step*bs >= decay_step
+        step = 200000 // 16
+        assert float(sched(jnp.int32(step))) == pytest.approx(0.0007, rel=1e-5)
+        assert float(sched(jnp.int32(step - 1))) == pytest.approx(0.001)
+        # floor
+        assert float(sched(jnp.int32(10**9))) == pytest.approx(1e-5)
+
+    def test_bn_momentum_schedule(self):
+        cfg = Config(bn_init_decay=0.5, bn_decay_decay_rate=0.5,
+                     bn_decay_clip=0.99, batch_size=16, decay_step=200000)
+        sched = bn_momentum_schedule(cfg)
+        assert float(sched(0)) == pytest.approx(0.5)  # 1 - 0.5
+        step = 200000 // 16
+        assert float(sched(step)) == pytest.approx(0.75)  # 1 - 0.25
+        assert float(sched(10**8)) == pytest.approx(0.99)  # clip
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        trainer = Trainer(cfg=TINY)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY)
+        drng = jax.random.PRNGKey(42)
+        first = None
+        for i in range(12):
+            state, metrics = trainer.train_step(state, dict(batch), drng)
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.9, (first, last)
+        assert int(state.step) == 12
+
+    def test_metrics_shapes(self, rng):
+        trainer = Trainer(cfg=TINY)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY)
+        state, m = trainer.train_step(state, dict(batch), jax.random.PRNGKey(0))
+        assert m["confusion"].shape == (9, 9)
+        assert int(m["confusion"].sum()) == TINY.batch_size * TINY.num_point
+        assert 0.0 <= float(m["accuracy"]) <= 1.0
+
+    def test_eval_deterministic(self, rng):
+        trainer = Trainer(cfg=TINY)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY)
+        a = trainer.eval_step(state, batch)
+        b = trainer.eval_step(state, batch)
+        np.testing.assert_array_equal(np.asarray(a["preds"]), np.asarray(b["preds"]))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, rng, tmp_path):
+        trainer = Trainer(cfg=TINY)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY)
+        state, _ = trainer.train_step(state, dict(batch), jax.random.PRNGKey(0))
+        path = tmp_path / "ckpt"
+        save_checkpoint(path, state)
+        template = trainer.init_state(jax.random.PRNGKey(1))
+        restored = restore_checkpoint(path, template)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            state.params,
+            restored.params,
+        )
+        assert int(restored.step) == 1
+
+
+class TestSharding:
+    def test_data_parallel_train_step(self, rng):
+        assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+        mesh = create_mesh()
+        trainer = Trainer(cfg=TINY)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = shard_batch(_synthetic_batch(rng, TINY, b=8), mesh)
+        assert len(batch["points"].sharding.device_set) == 8
+        state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated after the step
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_sharded_matches_single_device(self, rng):
+        mesh = create_mesh()
+        trainer = Trainer(cfg=TINY)
+        state0 = trainer.init_state(jax.random.PRNGKey(0))
+        host = _synthetic_batch(rng, TINY, b=8)
+        dev_batch = shard_batch(host, mesh)
+        _, m_sharded = trainer.train_step(state0, dev_batch, jax.random.PRNGKey(0))
+        state1 = trainer.init_state(jax.random.PRNGKey(0))
+        _, m_single = trainer.train_step(state1, dict(host), jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            float(m_sharded["loss"]), float(m_single["loss"]), rtol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_sharded["confusion"]), np.asarray(m_single["confusion"])
+        )

@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Train PointNet++ on Semantic3D (TPU).
+
+CLI parity with the reference's train.py: --train_set {train,train_full},
+--config_file semantic.json. Differences are TPU-native: jitted fused train
+step on a data-parallel mesh, async host prefetch instead of mp.Queue
+(train.py:134-196), device-side confusion matrices instead of the per-point
+Python loop (train.py:249-251), orbax checkpoints instead of tf.train.Saver.
+
+Extra flags (not in the reference): --resume to continue from a checkpoint,
+--max_epoch / --data_path overrides, --seed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from datetime import datetime
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train_set", default="train", help="train, train_full")
+    parser.add_argument("--config_file", default="semantic.json", help="config path")
+    parser.add_argument("--resume", default="", help="checkpoint dir to resume from")
+    parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--data_path", default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    flags = parser.parse_args()
+
+    import jax
+
+    from pointnet2_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from pointnet2_tpu.config import Config
+    from pointnet2_tpu.data.pipeline import BatchProducer
+    from pointnet2_tpu.data.semantic3d import SemanticDataset
+    from pointnet2_tpu.parallel import create_mesh, shard_batch
+    from pointnet2_tpu.train.trainer import (
+        Trainer,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from pointnet2_tpu.utils.logging import RunLogger, update_progress
+    from pointnet2_tpu.utils.metrics import ConfusionMatrix
+
+    cfg = Config.from_json(flags.config_file)
+    if flags.max_epoch is not None:
+        cfg = cfg.replace(max_epoch=flags.max_epoch)
+    if flags.data_path is not None:
+        cfg = cfg.replace(data_path=flags.data_path)
+
+    logger = RunLogger(cfg.logdir)
+    logger.log(f"devices: {jax.devices()}")
+
+    train_ds = SemanticDataset(
+        num_points_per_sample=cfg.num_point,
+        split=flags.train_set,
+        box_size_x=cfg.box_size_x,
+        box_size_y=cfg.box_size_y,
+        use_color=bool(cfg.use_color),
+        path=cfg.data_path,
+        seed=flags.seed,
+    )
+    val_ds = SemanticDataset(
+        num_points_per_sample=cfg.num_point,
+        split="validation",
+        box_size_x=cfg.box_size_x,
+        box_size_y=cfg.box_size_y,
+        use_color=bool(cfg.use_color),
+        path=cfg.data_path,
+        seed=flags.seed,
+    )
+
+    mesh = create_mesh()
+    trainer = Trainer(cfg=cfg, num_classes=train_ds.num_classes)
+    state = trainer.init_state(jax.random.PRNGKey(flags.seed or 0))
+    if flags.resume:
+        state = restore_checkpoint(os.path.abspath(flags.resume), state)
+        logger.log(f"resumed from {flags.resume} at step {int(state.step)}")
+    dropout_rng = jax.random.PRNGKey((flags.seed or 0) + 1)
+
+    def to_named(batch_tuple):
+        data, labels, weights = batch_tuple
+        return {"points": data, "labels": labels, "weights": weights}
+
+    train_producer = BatchProducer(
+        lambda: to_named(train_ds.sample_batch_in_all_files(cfg.batch_size, True)),
+        max_queue=16,
+        num_workers=max(os.cpu_count() or 1, 2),
+    )
+    val_producer = BatchProducer(
+        lambda: to_named(val_ds.sample_batch_in_all_files(cfg.batch_size, False)),
+        max_queue=8,
+        num_workers=2,
+    )
+
+    num_train_batches = train_ds.get_num_batches(cfg.batch_size)
+    num_val_batches = val_ds.get_num_batches(cfg.batch_size)
+    logger.log(
+        f"train batches/epoch: {num_train_batches}, val batches: {num_val_batches}"
+    )
+
+    best_acc = 0.0
+    try:
+        for epoch in range(cfg.max_epoch):
+            logger.log(f"**** EPOCH {epoch:03d} ****  {datetime.now()}")
+            cm = ConfusionMatrix(train_ds.num_classes)
+            # Accumulate metrics ON DEVICE; one host transfer per epoch. A
+            # per-step float() sync costs 30-50 ms through a tunneled TPU and
+            # serializes the pipeline.
+            dev_losses = []
+            dev_cm = None
+            for i in range(num_train_batches):
+                update_progress(i / max(num_train_batches, 1))
+                batch = shard_batch(train_producer.get(), mesh)
+                state, metrics = trainer.train_step(state, batch, dropout_rng)
+                dev_losses.append(metrics["loss"])
+                dev_cm = (
+                    metrics["confusion"]
+                    if dev_cm is None
+                    else dev_cm + metrics["confusion"]
+                )
+                last_metrics = metrics
+            update_progress(1.0)
+            print()
+            import jax.numpy as jnp
+
+            losses = np.asarray(jnp.stack(dev_losses)) if dev_losses else np.zeros(1)
+            if dev_cm is not None:
+                cm.increment_from_matrix(dev_cm)
+            logger.log(f"mean loss: {float(losses.mean()):f}")
+            logger.log(f"Overall accuracy : {cm.get_accuracy():f}")
+            logger.log(f"Average IoU : {cm.get_mean_iou():f}")
+            logger.scalars(
+                int(state.step),
+                "train",
+                loss=float(losses.mean()),
+                accuracy=cm.get_accuracy(),
+                learning_rate=last_metrics["learning_rate"],
+                bn_decay=last_metrics["bn_decay"],
+            )
+            ious = [0.0] + cm.get_per_class_ious()
+            for c in range(1, train_ds.num_classes):
+                logger.log(f"IoU of {train_ds.labels_names[c]} : {ious[c]:f}")
+
+            acc = best_acc
+            if epoch % 5 == 0:
+                vcm = ConfusionMatrix(val_ds.num_classes)
+                dev_vcm = None
+                vlosses = []
+                for i in range(num_val_batches):
+                    batch = shard_batch(val_producer.get(), mesh)
+                    metrics = trainer.eval_step(state, batch)
+                    vlosses.append(metrics["loss"])
+                    dev_vcm = (
+                        metrics["confusion"]
+                        if dev_vcm is None
+                        else dev_vcm + metrics["confusion"]
+                    )
+                if dev_vcm is not None:
+                    vcm.increment_from_matrix(dev_vcm)
+                acc = vcm.get_accuracy()
+                logger.log(f"---- EPOCH {epoch:03d} EVALUATION ----")
+                logger.log(f"eval accuracy: {acc:f}  mIoU: {vcm.get_mean_iou():f}")
+                logger.scalars(
+                    int(state.step), "validation", accuracy=acc,
+                    miou=vcm.get_mean_iou(),
+                )
+
+            if acc > best_acc:
+                best_acc = acc
+                path = os.path.abspath(
+                    os.path.join(cfg.logdir, f"best_model_epoch_{epoch:03d}")
+                )
+                save_checkpoint(path, state)
+                logger.log(f"Model saved in file: {path}")
+            if epoch % 10 == 0:
+                path = os.path.abspath(os.path.join(cfg.logdir, "model"))
+                save_checkpoint(path, state)
+                logger.log(f"Model saved in file: {path}")
+    finally:
+        train_producer.stop()
+        val_producer.stop()
+        logger.close()
+
+
+if __name__ == "__main__":
+    main()

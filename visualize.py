@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Inspect a point cloud (+ optional labels): headless-friendly viewer.
+
+Parity goal: the reference's visualize.py opens an interactive Open3D window
+(visualize.py:9-42). This environment is headless, so the default mode
+renders an orthographic top/front scatter to a PNG with matplotlib (labels
+colorized with the same palette); `--stats` prints cloud statistics only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pcd", required=True, help="path to .pcd")
+    parser.add_argument("--labels", default=None, help="optional .labels path")
+    parser.add_argument("--out", default=None, help="output PNG (default: <pcd>.png)")
+    parser.add_argument("--max_points", type=int, default=200_000)
+    parser.add_argument("--stats", action="store_true", help="print stats only")
+    flags = parser.parse_args()
+
+    from pointnet2_tpu.data.io import load_labels, read_pcd
+    from pointnet2_tpu.utils.colors import colorize_point_cloud
+
+    cloud = read_pcd(flags.pcd)
+    pts = cloud.points
+    print(f"{flags.pcd}: {len(pts)} points")
+    print("min:", pts.min(0), "max:", pts.max(0))
+
+    colors = cloud.colors
+    if flags.labels:
+        labels = load_labels(flags.labels)
+        colors = colorize_point_cloud(pts, labels)
+        counts = np.bincount(labels, minlength=9)
+        for c, n in enumerate(counts):
+            print(f"label {c}: {n}")
+    if flags.stats:
+        return
+
+    if len(pts) > flags.max_points:
+        sel = np.random.RandomState(0).choice(len(pts), flags.max_points, replace=False)
+        pts = pts[sel]
+        colors = colors[sel] if colors is not None else None
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(16, 8))
+    c = colors if colors is not None else pts[:, 2]
+    axes[0].scatter(pts[:, 0], pts[:, 1], s=0.05, c=c)
+    axes[0].set_title("top (x-y)")
+    axes[1].scatter(pts[:, 0], pts[:, 2], s=0.05, c=c)
+    axes[1].set_title("front (x-z)")
+    for ax in axes:
+        ax.set_aspect("equal")
+    out = flags.out or flags.pcd + ".png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
