@@ -98,3 +98,100 @@ def shuffle_points(batch_data: np.ndarray) -> np.ndarray:
     idx = np.arange(batch_data.shape[1])
     np.random.shuffle(idx)
     return batch_data[:, idx, :]
+
+
+def shuffle_data(data: np.ndarray, labels: np.ndarray):
+    """Shuffle batch order (util/provider.py:9-19)."""
+    idx = np.arange(len(labels))
+    np.random.shuffle(idx)
+    return data[idx, ...], labels[idx], idx
+
+
+def rotate_point_cloud_with_normal(batch_xyz_normal: np.ndarray) -> np.ndarray:
+    """Rotate xyz and normals by the same random y rotation
+    (util/provider.py:105-125)."""
+    out = batch_xyz_normal.copy()
+    for k in range(out.shape[0]):
+        rot = _rotation(np.random.uniform() * 2 * np.pi, "y")
+        out[k, :, 0:3] = out[k, :, 0:3] @ rot
+        out[k, :, 3:6] = out[k, :, 3:6] @ rot
+    return out
+
+
+def rotate_point_cloud_by_angle(
+    batch_data: np.ndarray, rotation_angle: float
+) -> np.ndarray:
+    """Deterministic y-rotation of xyz (util/provider.py:170-188)."""
+    out = np.zeros(batch_data.shape, dtype=np.float32)
+    rot = _rotation(rotation_angle, "y")
+    for k in range(batch_data.shape[0]):
+        out[k, :, 0:3] = batch_data[k, :, 0:3] @ rot
+    return out
+
+
+def _small_rotation(angle_sigma: float, angle_clip: float) -> np.ndarray:
+    angles = np.clip(angle_sigma * np.random.randn(3), -angle_clip, angle_clip)
+    rx = np.array(
+        [
+            [1, 0, 0],
+            [0, np.cos(angles[0]), -np.sin(angles[0])],
+            [0, np.sin(angles[0]), np.cos(angles[0])],
+        ]
+    )
+    ry = np.array(
+        [
+            [np.cos(angles[1]), 0, np.sin(angles[1])],
+            [0, 1, 0],
+            [-np.sin(angles[1]), 0, np.cos(angles[1])],
+        ]
+    )
+    rz = np.array(
+        [
+            [np.cos(angles[2]), -np.sin(angles[2]), 0],
+            [np.sin(angles[2]), np.cos(angles[2]), 0],
+            [0, 0, 1],
+        ]
+    )
+    return rz @ ry @ rx
+
+
+def rotate_perturbation_point_cloud(
+    batch_data: np.ndarray, angle_sigma: float = 0.06, angle_clip: float = 0.18
+) -> np.ndarray:
+    """Small random 3-axis perturbations (util/provider.py:211-245)."""
+    out = np.zeros(batch_data.shape, dtype=np.float32)
+    for k in range(batch_data.shape[0]):
+        out[k] = batch_data[k] @ _small_rotation(angle_sigma, angle_clip)
+    return out
+
+
+def rotate_perturbation_point_cloud_with_normal(
+    batch_data: np.ndarray, angle_sigma: float = 0.06, angle_clip: float = 0.18
+) -> np.ndarray:
+    """Small random 3-axis perturbations of xyz+normals
+    (util/provider.py:128-167)."""
+    out = np.zeros(batch_data.shape, dtype=np.float32)
+    for k in range(batch_data.shape[0]):
+        rot = _small_rotation(angle_sigma, angle_clip)
+        out[k, :, 0:3] = batch_data[k, :, 0:3] @ rot
+        out[k, :, 3:6] = batch_data[k, :, 3:6] @ rot
+    return out
+
+
+def get_data_files(list_filename: str) -> list[str]:
+    """Read a file-list manifest (util/provider.py:300-301)."""
+    with open(list_filename) as f:
+        return [line.rstrip() for line in f]
+
+
+def load_h5(h5_filename: str):
+    """(data, label) from an HDF5 archive (util/provider.py:304-310).
+
+    h5py is optional; raises a clear error when absent.
+    """
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("load_h5 requires h5py") from e
+    with h5py.File(h5_filename, "r") as f:
+        return f["data"][:], f["label"][:]

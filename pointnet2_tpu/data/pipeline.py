@@ -18,6 +18,13 @@ import jax
 import numpy as np
 
 
+class _ProducerError:
+    """Sentinel carrying a worker traceback to the consumer."""
+
+    def __init__(self, tb: str):
+        self.tb = tb
+
+
 class BatchProducer:
     """Background producer running `sample_fn()` into a bounded queue."""
 
@@ -46,7 +53,7 @@ class BatchProducer:
                 if not self._stop.is_set():
                     import traceback
 
-                    self._queue.put(("__error__", traceback.format_exc()))
+                    self._queue.put(_ProducerError(traceback.format_exc()))
                 return
             while not self._stop.is_set():
                 try:
@@ -57,8 +64,8 @@ class BatchProducer:
 
     def get(self):
         item = self._queue.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
-            raise RuntimeError(f"batch producer failed:\n{item[1]}")
+        if isinstance(item, _ProducerError):
+            raise RuntimeError(f"batch producer failed:\n{item.tb}")
         return item
 
     def stop(self) -> None:

@@ -25,7 +25,12 @@ from pointnet2_tpu.ops.core import (
     three_interpolate,
     three_nn_xla,
 )
-from pointnet2_tpu.ops.pallas import ball_query_pallas, farthest_point_sample_pallas
+from pointnet2_tpu.ops.pallas import (
+    ball_query_pallas,
+    farthest_point_sample_pallas,
+    knn_pallas,
+    three_nn_pallas,
+)
 
 __all__ = [
     "farthest_point_sample",
@@ -67,11 +72,13 @@ def ball_query(xyz1, xyz2, radius: float, nsample: int, impl: str | None = None)
 
 def knn(xyz1, xyz2, k: int, impl: str | None = None):
     """k exact nearest neighbors, squared distances (tf_ops/tf_grouping.py:66)."""
-    del impl
+    if _use_pallas(impl):
+        return knn_pallas(xyz1, xyz2, k)
     return knn_xla(xyz1, xyz2, k)
 
 
 def three_nn(xyz1, xyz2, impl: str | None = None):
     """Exact 3-NN with squared distances (tf_ops/tf_interpolate.cpp:213-243)."""
-    del impl
+    if _use_pallas(impl):
+        return three_nn_pallas(xyz1, xyz2)
     return three_nn_xla(xyz1, xyz2)

@@ -35,6 +35,31 @@ def test_ball_query_pallas_matches_numpy(rng, b, n, m, radius, nsample):
     np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
 
 
+@pytest.mark.parametrize("b,m,nq,k", [(2, 100, 128, 3), (1, 64, 256, 5), (2, 16, 128, 3)])
+def test_knn_pallas_matches_numpy(rng, b, m, nq, k):
+    from pointnet2_tpu.ops.pallas import knn_pallas
+
+    xyz1 = _cloud(rng, b, m)
+    xyz2 = _cloud(rng, b, nq)
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = knn_pallas(xyz1, xyz2, k)
+    want_d, want_i = reference.knn_np(xyz1, xyz2, k)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-5, atol=1e-6)
+
+
+def test_three_nn_pallas_matches_numpy(rng):
+    from pointnet2_tpu.ops.pallas import three_nn_pallas
+
+    xyz1 = _cloud(rng, 2, 200)  # targets
+    xyz2 = _cloud(rng, 2, 60)  # references
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = three_nn_pallas(xyz1, xyz2)
+    want_d, want_i = reference.three_nn_np(xyz1, xyz2)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-5, atol=1e-6)
+
+
 def test_ball_query_pallas_empty_ball(rng):
     xyz1 = np.zeros((1, 64, 3), np.float32)
     xyz2 = np.full((1, 32, 3), 50.0, np.float32)

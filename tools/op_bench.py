@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Op-level TPU microbenchmarks: Pallas vs XLA vs approx variants at the
+flagship model's real shapes.
+
+Timing methodology: K data-dependent iterations inside ONE jitted scan, so
+the measurement is pure device time — per-call dispatch/sync through the
+tunneled TPU costs ~26ms and would swamp sub-ms kernels.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+K = 20
+
+
+def device_time(make_step, x, reps=5):
+    """Median wall time of one step, amortized over K chained iterations."""
+
+    @jax.jit
+    def loop(x):
+        def body(c, _):
+            out = make_step(c)
+            # Epsilon-scaled float dependency: forces `out` to be computed
+            # (0.0*int folds away; unused optimization_barrier outputs get
+            # DCE'd) while changing c by < 1 ulp.
+            c = c + out.astype(jnp.float32) * jnp.float32(1e-38)
+            return c, ()
+        c, _ = lax.scan(body, x, None, length=K)
+        return c
+
+    loop(x).block_until_ready()
+    times = []
+    for _ in range(reps):
+        t = time.time()
+        loop(x).block_until_ready()
+        times.append(time.time() - t)
+    return float(np.median(times)) / K
+
+
+def main():
+    from pointnet2_tpu.ops.core import (
+        ball_query_xla,
+        farthest_point_sample_xla,
+        knn_xla,
+    )
+    from pointnet2_tpu.ops.pallas import (
+        ball_query_pallas,
+        farthest_point_sample_pallas,
+    )
+
+    rng = np.random.RandomState(0)
+    B = 64
+
+    print("== FPS (B=64) ==")
+    for n, m in [(8192, 1024), (1024, 256), (256, 64), (64, 16)]:
+        xyz = jnp.asarray(rng.rand(B, n, 3) * 10, jnp.float32)
+        tp = device_time(
+            lambda c: farthest_point_sample_pallas(c, m).sum().astype(jnp.float32), xyz
+        )
+        tx = device_time(
+            lambda c: farthest_point_sample_xla(c, m).sum().astype(jnp.float32), xyz
+        )
+        print(f"n={n:5d} m={m:5d}: pallas {tp*1e3:8.3f}ms  xla {tx*1e3:8.3f}ms")
+
+    print("== ball query (B=64, nsample=32) ==")
+    for n, m, r in [(8192, 1024, 0.5), (1024, 256, 1.0), (256, 64, 2.0), (64, 16, 4.0)]:
+        xyz1 = jnp.asarray(rng.rand(B, n, 3) * 10, jnp.float32)
+
+        def bq_p(c, m=m, r=r):
+            idx, cnt = ball_query_pallas(c, c[:, :m], r, 32)
+            return (idx.sum() + cnt.sum()).astype(jnp.float32)
+
+        def bq_x(c, m=m, r=r):
+            idx, cnt = ball_query_xla(c, c[:, :m], r, 32)
+            return (idx.sum() + cnt.sum()).astype(jnp.float32)
+
+        tp = device_time(bq_p, xyz1)
+        tx = device_time(bq_x, xyz1)
+        print(f"n={n:5d} m={m:5d}: pallas {tp*1e3:8.3f}ms  xla {tx*1e3:8.3f}ms")
+
+    print("== three_nn: top_k vs approx_min_k vs pallas (B=64, queries=n, refs=m) ==")
+    from pointnet2_tpu.ops.pallas import knn_pallas
+
+    for n, m in [(8192, 1024), (1024, 256), (256, 64), (64, 16)]:
+        xyz_d = jnp.asarray(rng.rand(B, n, 3) * 10, jnp.float32)
+        xyz_s = jnp.asarray(rng.rand(B, m, 3) * 10, jnp.float32)
+
+        def via_topk(c, s=xyz_s):
+            d, i = knn_xla(s, c, 3)
+            return (d.sum() + i.sum().astype(jnp.float32))
+
+        def via_approx(c, s=xyz_s):
+            diff = c[:, :, None, :] - s[:, None, :, :]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            nd, idx = lax.approx_min_k(d2, 3, recall_target=0.999)
+            return (nd.sum() + idx.sum().astype(jnp.float32))
+
+        def via_pallas(c, s=xyz_s):
+            d, i = knn_pallas(s, c, 3)
+            return (d.sum() + i.sum().astype(jnp.float32))
+
+        tk = device_time(via_topk, xyz_d)
+        ta = device_time(via_approx, xyz_d)
+        tp = device_time(via_pallas, xyz_d)
+        dk, ik = knn_xla(xyz_s, xyz_d, 3)
+        dp, ip = knn_pallas(xyz_s, xyz_d, 3)
+        agree = float(jnp.mean((ik == ip).all(-1)))
+        print(
+            f"n={n:5d} m={m:5d}: top_k {tk*1e3:8.3f}ms  approx {ta*1e3:8.3f}ms  "
+            f"pallas {tp*1e3:8.3f}ms  pallas-idx-agree {agree:.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
