@@ -47,32 +47,44 @@ def main() -> None:
         rng.randn(batch_size, cfg.num_point, cfg.point_dim), jnp.float32
     )
 
-    # Honest device timing: K data-dependent forward passes chained through
-    # lax.optimization_barrier inside one jit, so per-dispatch overhead and
-    # any service-side memoization of identical dispatches can't flatter the
-    # number.
-    K = 5
+    # Honest device timing. Hazards on a tunneled TPU, all defeated here:
+    # per-dispatch sync ~26ms -> chain K forwards in one jit via an
+    # epsilon-scaled dependency; block_until_ready can return early on this
+    # backend -> force completion with a scalar float() readback; identical
+    # dispatches can be served from a cache -> distinct input per rep. The
+    # per-forward cost is the K-slope, which cancels the constant readback
+    # and dispatch overhead.
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    @jax.jit
-    def chained(x):
-        def body(c, _):
-            logits = trainer.model.apply(variables, c, train=False, bn_momentum=0.9)
-            # Epsilon-scaled dependency: forces each forward to execute
-            # without changing the input by even 1 ulp.
-            c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
-            return c, ()
+    def chained(k):
+        @jax.jit
+        def fn(x):
+            def body(c, _):
+                logits = trainer.model.apply(
+                    variables, c, train=False, bn_momentum=0.9
+                )
+                c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
+                return c, ()
 
-        c, _ = jax.lax.scan(body, x, None, length=K)
-        return c
+            c, _ = jax.lax.scan(body, x, None, length=k)
+            return c.sum()
 
-    chained(x).block_until_ready()  # compile + warm up
-    times = []
-    for _ in range(5):
+        return fn
+
+    K0, K1 = 2, 12
+    loop0, loop1 = chained(K0), chained(K1)
+    float(loop0(x))
+    float(loop1(x))  # compile + warm
+    t0s, t1s = [], []
+    for i in range(3):
+        xi = x + jnp.float32(i + 1) * 1e-7
         s = time.time()
-        chained(x).block_until_ready()
-        times.append(time.time() - s)
-    batch_time = float(np.median(times)) / K
+        float(loop0(xi))
+        t0s.append(time.time() - s)
+        s = time.time()
+        float(loop1(xi))
+        t1s.append(time.time() - s)
+    batch_time = (float(np.median(t1s)) - float(np.median(t0s))) / (K1 - K0)
     points_per_sec = batch_size * cfg.num_point / batch_time
 
     print(

@@ -22,25 +22,33 @@ K = 20
 
 
 def device_time(make_step, x, reps=5):
-    """Median wall time of one step, amortized over K chained iterations."""
+    """Median wall time of one step, amortized over K chained iterations.
+
+    Measurement hazards on the tunneled TPU, all defeated here:
+    - per-dispatch sync costs ~26ms -> chain K steps inside one jit;
+    - 0*int dependencies constant-fold and unused optimization_barrier
+      outputs get DCE'd -> epsilon-scaled float dependency;
+    - repeated dispatch with the SAME committed input can be served from a
+      cache -> one distinct pre-committed input per rep;
+    - D2H bandwidth is ~20MB/s -> keep outputs on device (block only).
+    """
 
     @jax.jit
     def loop(x):
         def body(c, _):
             out = make_step(c)
-            # Epsilon-scaled float dependency: forces `out` to be computed
-            # (0.0*int folds away; unused optimization_barrier outputs get
-            # DCE'd) while changing c by < 1 ulp.
             c = c + out.astype(jnp.float32) * jnp.float32(1e-38)
             return c, ()
         c, _ = lax.scan(body, x, None, length=K)
         return c
 
-    loop(x).block_until_ready()
+    xs = [jax.device_put(x + jnp.float32(i) * 1e-6) for i in range(reps + 1)]
+    jax.block_until_ready(xs)
+    loop(xs[0]).block_until_ready()  # compile + warm
     times = []
-    for _ in range(reps):
+    for i in range(reps):
         t = time.time()
-        loop(x).block_until_ready()
+        loop(xs[i + 1]).block_until_ready()
         times.append(time.time() - t)
     return float(np.median(times)) / K
 
