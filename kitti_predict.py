@@ -47,7 +47,7 @@ def main() -> None:
     from pointnet2_tpu.config import Config
     from pointnet2_tpu.data.io import write_labels, write_pcd
     from pointnet2_tpu.data.kitti import KittiDataset
-    from pointnet2_tpu.ops.densify import densify_labels
+    from pointnet2_tpu.ops.densify import densify_labels_device
     from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
 
     cfg = Config.from_json(flags.config_file)
@@ -89,16 +89,20 @@ def main() -> None:
 
         start = time.time()
         dense_points = kitti_file_data.points
-        sparse_labels = np.asarray(
-            trainer.predict_step(state, centered.astype(np.float32))
+        # Fused on-device path: model logits -> argmax -> KNN densify without
+        # leaving HBM (the reference fused these in one sess.run graph,
+        # kitti_predict.py:30-104). Only the final labels/colors transfer.
+        sparse_labels_dev = trainer.predict_step(
+            state, centered.astype(np.float32)
         ).reshape(-1)
-        dense_labels, dense_colors = densify_labels(
+        dense_labels_dev, dense_colors_dev = densify_labels_device(
             raw.reshape(-1, 3).astype(np.float32),
-            sparse_labels,
+            sparse_labels_dev,
             dense_points.astype(np.float32),
             knn=3,
-            engine="device",
         )
+        dense_labels = np.asarray(dense_labels_dev)
+        dense_colors = np.asarray(dense_colors_dev)
         timer["predict_interpolate"] += time.time() - start
 
         if flags.save:

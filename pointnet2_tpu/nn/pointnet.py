@@ -27,7 +27,7 @@ from flax import linen as nn
 from jax import lax
 
 from pointnet2_tpu import ops
-from pointnet2_tpu.nn.layers import SharedMLP
+from pointnet2_tpu.nn.layers import BatchNorm, SharedMLP
 
 
 def sample_and_group(
@@ -106,6 +106,19 @@ class SetAbstraction(nn.Module):
 
     (B,N,3) xyz + (B,N,C) features -> (B,npoint,3) centroids +
     (B,npoint,mlp[-1] or mlp2[-1]) pooled features + group indices.
+
+    ``pre_project=True`` (default) applies the first MLP layer's linear part
+    to ALL N points BEFORE grouping. Because the layer is linear and the
+    grouped input is [xyz_i - center_q, feats_i], the gathered result equals
+    projecting first and subtracting the center's xyz projection after:
+
+        W.T [x_i - c_q; f_i] + b  =  (W_xyz.T x_i + W_feat.T f_i + b)
+                                      - W_xyz.T c_q
+
+    This is mathematically identical (up to f32 reassociation) but gathers
+    mlp[0] channels instead of 3+C and runs the widest matmul over N points
+    once instead of npoint*nsample times — on TPU the grouping gather is
+    bandwidth/addressing-bound, so shrinking its width is the win.
     """
 
     npoint: int
@@ -118,6 +131,7 @@ class SetAbstraction(nn.Module):
     use_knn: bool = False
     use_xyz: bool = True
     use_bn: bool = True
+    pre_project: bool = True
     ops_impl: Optional[str] = None
 
     @nn.compact
@@ -126,6 +140,8 @@ class SetAbstraction(nn.Module):
             new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
                 xyz, points, self.use_xyz
             )
+        elif self.pre_project and self.mlp and (self.use_xyz or points is not None):
+            return self._pre_projected(xyz, points, train, bn_momentum)
         else:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group(
                 xyz,
@@ -142,6 +158,53 @@ class SetAbstraction(nn.Module):
             new_points, train=train, bn_momentum=bn_momentum
         )
         new_points = _pool(new_points, grouped_xyz, self.pooling)
+        if self.mlp2:
+            new_points = SharedMLP(self.mlp2, use_bn=self.use_bn, name="mlp2")(
+                new_points, train=train, bn_momentum=bn_momentum
+            )
+        return new_xyz, new_points, idx
+
+    def _pre_projected(self, xyz, points, train, bn_momentum):
+        f0 = self.mlp[0]
+        if points is not None:
+            inputs = (
+                jnp.concatenate([xyz, points], axis=-1) if self.use_xyz else points
+            )
+        else:
+            inputs = xyz
+        cin = inputs.shape[-1]
+        w = self.param("w0", nn.initializers.xavier_uniform(), (cin, f0), jnp.float32)
+        b = self.param("b0", nn.initializers.zeros, (f0,), jnp.float32)
+
+        zp = inputs @ w + b  # (B, N, f0): layer-1 linear over ALL points
+
+        fps_idx = ops.farthest_point_sample(xyz, self.npoint, impl=self.ops_impl)
+        new_xyz = ops.gather_points(xyz, fps_idx)
+        if self.use_knn:
+            _, idx = ops.knn(xyz, new_xyz, self.nsample)
+        else:
+            idx, _ = ops.ball_query(
+                xyz, new_xyz, self.radius, self.nsample, impl=self.ops_impl
+            )
+
+        grouped = ops.group_points(zp, idx)  # (B, m, k, f0)
+        if self.use_xyz:
+            zq = new_xyz @ w[:3]  # centers' xyz projection (no bias)
+            grouped = grouped - zq[:, :, None, :]
+        h = grouped
+        if self.use_bn:
+            h = BatchNorm(name="bn0")(h, train=train, momentum=bn_momentum)
+        h = nn.relu(h)
+        if len(self.mlp) > 1:
+            h = SharedMLP(self.mlp[1:], use_bn=self.use_bn, name="mlp_rest")(
+                h, train=train, bn_momentum=bn_momentum
+            )
+
+        if self.pooling == "weighted_avg":
+            grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        else:
+            grouped_xyz = None
+        new_points = _pool(h, grouped_xyz, self.pooling)
         if self.mlp2:
             new_points = SharedMLP(self.mlp2, use_bn=self.use_bn, name="mlp2")(
                 new_points, train=train, bn_momentum=bn_momentum

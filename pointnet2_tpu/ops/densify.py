@@ -152,9 +152,24 @@ def _densify_device(sparse_points, sparse_labels, dense_points, knn, chunk=4096,
     chunk = int(min(chunk, max(128, len(dense_points))))
     return _densify_device_jit(
         jnp.asarray(sparse_points),
-        jnp.asarray(sparse_labels.astype(np.int32)),
+        jnp.asarray(sparse_labels).astype(jnp.int32),
         jnp.asarray(dense_points),
         knn,
         chunk,
         sparse_tile,
     )
+
+
+def densify_labels_device(sparse_points, sparse_labels, dense_points, knn: int = 3):
+    """Fully on-device densification: jax arrays in, jax arrays out.
+
+    Used by the fused KITTI predict+densify path (kitti_predict.py parity
+    with the reference's single-graph sess.run, kitti_predict.py:30-104):
+    predicted labels never leave HBM between the model and the densifier.
+    Returns (dense_labels (N,) int32, dense_colors (N, 3) uint8) on device.
+    """
+    import jax.numpy as jnp
+
+    labels = _densify_device(sparse_points, sparse_labels, dense_points, knn)
+    colors = jnp.asarray(LABEL_COLORS_UINT8)[labels]
+    return labels, colors

@@ -56,17 +56,26 @@ def _knn_kernel(ref_ref, q_ref, dist_ref, idx_ref, *, m: int, k: int):
     idx_ref[0] = jnp.concatenate(idxs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def knn_pallas(xyz1: jax.Array, xyz2: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def knn_pallas(
+    xyz1: jax.Array, xyz2: jax.Array, k: int, tq: int | None = None
+) -> tuple[jax.Array, jax.Array]:
     """k exact NN of each query in xyz2 among dataset xyz1.
 
     xyz1: (B, M, 3) dataset, xyz2: (B, Nq, 3) queries.
     Returns (dist2 (B, Nq, k) ascending, idx (B, Nq, k)). Matches knn_xla.
+
+    tq: query-tile rows per grid program. Large tiles amortize per-program
+    launch overhead; bounded by VMEM for the (tq, Mpad) distance tile.
     """
     b, m, _ = xyz1.shape
     nq = xyz2.shape[1]
     mpad = _round_up(m, _LANES)
-    tq = min(_LANES, nq)
+    if tq is None:
+        # Keep the f32 distance tile near ~2MB (tq * mpad * 4 bytes).
+        tq = ((512 * 1024 // mpad) // _LANES) * _LANES
+        tq = max(_LANES, min(2048, tq))
+    tq = min(tq, _round_up(nq, _LANES))
 
     refs = jnp.transpose(xyz1.astype(jnp.float32), (0, 2, 1))  # (B, 3, M)
     if mpad != m:

@@ -1,0 +1,98 @@
+"""Pre-projected SetAbstraction must be numerically equivalent to the
+straightforward group-then-MLP formulation (same weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet2_tpu.nn.pointnet import SetAbstraction
+
+
+def _remap(params_base):
+    """Map group-then-MLP params onto the pre-projected module structure."""
+    mlp = params_base["mlp"]
+    out = {
+        "w0": mlp["dense_0"]["kernel"],
+        "b0": mlp["dense_0"]["bias"],
+        "bn0": mlp["bn_0"],
+    }
+    rest = {}
+    i = 1
+    while f"dense_{i}" in mlp:
+        rest[f"dense_{i - 1}"] = mlp[f"dense_{i}"]
+        if f"bn_{i}" in mlp:
+            rest[f"bn_{i - 1}"] = mlp[f"bn_{i}"]
+        i += 1
+    if rest:
+        out["mlp_rest"] = rest
+    return out
+
+
+def _stats_remap(stats_base):
+    mlp = stats_base["mlp"]
+    out = {"bn0": mlp["bn_0"]}
+    rest = {}
+    i = 1
+    while f"bn_{i}" in mlp:
+        rest[f"bn_{i - 1}"] = mlp[f"bn_{i}"]
+        i += 1
+    if rest:
+        out["mlp_rest"] = rest
+    return out
+
+
+def test_pre_projected_equivalent(rng):
+    xyz = jnp.asarray(rng.rand(2, 128, 3), jnp.float32)
+    feats = jnp.asarray(rng.rand(2, 128, 5), jnp.float32)
+
+    base = SetAbstraction(
+        npoint=32, radius=0.4, nsample=8, mlp=[16, 32], pre_project=False
+    )
+    pre = SetAbstraction(
+        npoint=32, radius=0.4, nsample=8, mlp=[16, 32], pre_project=True
+    )
+    vb = base.init(jax.random.PRNGKey(0), xyz, feats, train=False, bn_momentum=0.9)
+    vp = {
+        "params": _remap(vb["params"]),
+        "batch_stats": _stats_remap(vb["batch_stats"]),
+    }
+
+    xyz_b, out_b, idx_b = base.apply(vb, xyz, feats, train=False, bn_momentum=0.9)
+    xyz_p, out_p, idx_p = pre.apply(vp, xyz, feats, train=False, bn_momentum=0.9)
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_p))
+    np.testing.assert_allclose(np.asarray(xyz_b), np.asarray(xyz_p))
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_p), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_pre_projected_no_feats(rng):
+    xyz = jnp.asarray(rng.rand(2, 96, 3), jnp.float32)
+    base = SetAbstraction(
+        npoint=16, radius=0.5, nsample=8, mlp=[8, 8], pre_project=False
+    )
+    pre = SetAbstraction(
+        npoint=16, radius=0.5, nsample=8, mlp=[8, 8], pre_project=True
+    )
+    vb = base.init(jax.random.PRNGKey(1), xyz, None, train=False, bn_momentum=0.9)
+    vp = {
+        "params": _remap(vb["params"]),
+        "batch_stats": _stats_remap(vb["batch_stats"]),
+    }
+    _, out_b, _ = base.apply(vb, xyz, None, train=False, bn_momentum=0.9)
+    _, out_p, _ = pre.apply(vp, xyz, None, train=False, bn_momentum=0.9)
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_p), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_pre_projected_train_mode_runs(rng):
+    xyz = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+    feats = jnp.asarray(rng.rand(2, 64, 4), jnp.float32)
+    sa = SetAbstraction(npoint=16, radius=0.5, nsample=4, mlp=[8, 16])
+    v = sa.init(jax.random.PRNGKey(0), xyz, feats, train=True, bn_momentum=0.5)
+    (_, out, _), mutated = sa.apply(
+        v, xyz, feats, train=True, bn_momentum=0.5, mutable=["batch_stats"]
+    )
+    assert out.shape == (2, 16, 16)
+    assert "bn0" in mutated["batch_stats"]
