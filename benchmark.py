@@ -46,37 +46,68 @@ def main() -> None:
     if flags.ckpt:
         state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
 
+    import jax.numpy as jnp
+    from jax import lax
+
     rng = np.random.RandomState(0)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     def data(batch):
-        return rng.randn(batch, cfg.num_point, cfg.point_dim).astype(np.float32)
+        return jnp.asarray(
+            rng.randn(batch, cfg.num_point, cfg.point_dim), jnp.float32
+        )
 
-    # Warm up + profile at batch 64 (benchmark.py:17-54).
+    def timed_forward(x, K0=2, K1=8, reps=3):
+        """K-slope timing with float() readbacks (see PERFORMANCE.md)."""
+
+        def chained(k):
+            @jax.jit
+            def fn(x):
+                def body(c, _):
+                    logits = trainer.model.apply(
+                        variables, c, train=False, bn_momentum=0.9
+                    )
+                    c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
+                    return c, ()
+
+                c, _ = lax.scan(body, x, None, length=k)
+                return c.sum()
+
+            return fn
+
+        l0, l1 = chained(K0), chained(K1)
+        float(l0(x))
+        float(l1(x))
+        t0s, t1s = [], []
+        for i in range(reps):
+            xi = x + jnp.float32(i + 1) * 1e-7
+            s = time.time()
+            float(l0(xi))
+            t0s.append(time.time() - s)
+            s = time.time()
+            float(l1(xi))
+            t1s.append(time.time() - s)
+        return (float(np.median(t1s)) - float(np.median(t0s))) / (K1 - K0)
+
+    # Profile trace at batch 64 (reference benchmark.py:17-54).
     batch_size = 64
     x = data(batch_size)
-    trainer.predict_step(state, x).block_until_ready()
-
+    trainer.predict_step(state, x).block_until_ready()  # compile
     os.makedirs(flags.trace_dir, exist_ok=True)
     with jax.profiler.trace(flags.trace_dir):
-        s = time.time()
-        trainer.predict_step(state, x).block_until_ready()
-        batch_time = time.time() - s
+        np.asarray(trainer.predict_step(state, x))
+    print(f"Profiler trace written to {flags.trace_dir}")
+
+    batch_time = timed_forward(x)
     print(
         f"Batch size: {batch_size}, batch_time: {batch_time}, "
         f"sample_time: {batch_time / batch_size}"
     )
-    print(f"Profiler trace written to {flags.trace_dir}")
 
-    # Batch sweep with warmup (benchmark.py:56-72).
+    # Batch sweep (reference benchmark.py:56-72).
     for batch_size in [2**n for n in range(8)]:
         x = data(batch_size)
-        trainer.predict_step(state, x).block_until_ready()  # warm up / compile
-        times = []
-        for _ in range(flags.repeats):
-            s = time.time()
-            trainer.predict_step(state, x).block_until_ready()
-            times.append(time.time() - s)
-        batch_time = float(np.median(times))
+        batch_time = timed_forward(x)
         print(
             f"Batch size: {batch_size}, batch_time: {batch_time}, "
             f"sample_time: {batch_time / batch_size}, "
