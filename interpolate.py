@@ -17,7 +17,6 @@ import sys
 import time
 from pprint import pprint
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointnet2_tpu.config import Config
-from pointnet2_tpu.nn.layers import BatchNorm, SharedMLP
+from pointnet2_tpu.nn.layers import BatchNorm
 from pointnet2_tpu.nn.pointnet import FeaturePropagation, SetAbstraction
 
 SA_MLPS = ([32, 32, 64], [64, 64, 128], [128, 128, 256], [256, 256, 512])

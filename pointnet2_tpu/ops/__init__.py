@@ -27,6 +27,7 @@ from pointnet2_tpu.ops.core import (
 )
 from pointnet2_tpu.ops.pallas import (
     ball_query_pallas,
+    ball_query_windowed,
     farthest_point_sample_pallas,
     knn_pallas,
     three_nn_pallas,
@@ -64,7 +65,16 @@ def farthest_point_sample(xyz, npoint: int, impl: str | None = None):
 
 
 def ball_query(xyz1, xyz2, radius: float, nsample: int, impl: str | None = None):
-    """First-nsample-in-ball radius search (tf_ops/tf_grouping.cu:3-43)."""
+    """First-nsample-in-ball radius search (tf_ops/tf_grouping.cu:3-43).
+
+    TPU default is the full-width Pallas kernel. The windowed variant
+    (impl="windowed": x-sorted locality with an exactness-checked fallback)
+    is exact but measured slower end-to-end — its XLA-side sorts and
+    permutation gathers cost more than the kernel work it saves (see
+    PERFORMANCE.md).
+    """
+    if impl == "windowed":
+        return ball_query_windowed(xyz1, xyz2, radius, nsample)
     if _use_pallas(impl):
         return ball_query_pallas(xyz1, xyz2, radius, nsample)
     return ball_query_xla(xyz1, xyz2, radius, nsample)

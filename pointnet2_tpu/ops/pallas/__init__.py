@@ -6,12 +6,13 @@ oracles in ``pointnet2_tpu.ops.reference``).
 """
 
 from pointnet2_tpu.ops.pallas.fps import farthest_point_sample_pallas
-from pointnet2_tpu.ops.pallas.ballquery import ball_query_pallas
+from pointnet2_tpu.ops.pallas.ballquery import ball_query_pallas, ball_query_windowed
 from pointnet2_tpu.ops.pallas.knn import knn_pallas, three_nn_pallas
 
 __all__ = [
     "farthest_point_sample_pallas",
     "ball_query_pallas",
+    "ball_query_windowed",
     "knn_pallas",
     "three_nn_pallas",
 ]

@@ -68,6 +68,171 @@ def _ball_query_kernel(
     idx_ref[0] = jnp.where(sel < n, sel, first)
 
 
+def _ball_query_window_kernel(
+    lo_ref,
+    xs_ref,
+    perm_ref,
+    q_ref,
+    idx_ref,
+    cnt_ref,
+    sel_ref,
+    *,
+    n: int,
+    w: int,
+    t: int,
+    radius: float,
+    nsample: int,
+):
+    """Windowed variant: the dataset lives x-sorted in VMEM (full (3, Npad)
+    planes) and each program computes only the [lo, lo+W) column window of
+    its query tile (lo is scalar-prefetched, 128-aligned). perm holds each
+    sorted column's ORIGINAL dataset index; extracting the nsample smallest
+    perm values yields the first-nsample-in-dataset-order semantics exactly —
+    the window is a superset of every in-ball point (checked by the
+    wrapper)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    lo = pl.multiple_of(lo_ref[i * t + j], _LANES)
+    tm = q_ref.shape[2]
+
+    d2 = jnp.zeros((tm, w), jnp.float32)
+    for c in range(3):
+        diff = q_ref[0, 0, :, c : c + 1] - xs_ref[0, c : c + 1, pl.ds(lo, w)]
+        d2 = d2 + diff * diff
+
+    keys_orig = perm_ref[0, 0:1, pl.ds(lo, w)]  # (1, W) original indices
+    in_ball = (d2 < jnp.float32(radius) ** 2) & (keys_orig < n)
+    keys = jnp.where(in_ball, keys_orig, n)
+
+    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1)
+    cnt_ref[0, 0, 0, :] = jnp.minimum(cnt, nsample)
+
+    for s in range(nsample):
+        kmin = jnp.min(keys, axis=1, keepdims=True)
+        sel_ref[:, s : s + 1] = kmin
+        keys = jnp.where(keys == kmin, n, keys)
+
+    sel = sel_ref[:, :nsample]
+    first = sel[:, 0:1]
+    first = jnp.where(first < n, first, 0)
+    idx_ref[0, 0] = jnp.where(sel < n, sel, first)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def ball_query_windowed(
+    xyz1: jax.Array,
+    xyz2: jax.Array,
+    radius: float,
+    nsample: int,
+    window: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact ball query exploiting spatial locality.
+
+    Sorts the dataset and the queries by x, restricts each 128-query tile to
+    a static-width window of sorted columns containing every point within
+    ``radius`` in x (hence every in-ball point), and runs the first-k
+    extraction over the window only — ~N/window times less VPU work than the
+    full kernel. If any tile's true span exceeds the window (pathological
+    density), a lax.cond falls back to the full kernel, so results are ALWAYS
+    exact and identical to ball_query_pallas / the NumPy oracle.
+    """
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    tm = min(_LANES, m)
+    w = window or _round_up(max(2 * nsample, n // 4), _LANES)
+    if w >= n or m % tm != 0:
+        return ball_query_pallas(xyz1, xyz2, radius, nsample)
+    t = m // tm
+
+    x1 = xyz1.astype(jnp.float32)
+    x2 = xyz2.astype(jnp.float32)
+    perm = jnp.argsort(x1[..., 0], axis=1)  # (B, N)
+    xs = jnp.take_along_axis(x1, perm[..., None], axis=1)
+    qperm = jnp.argsort(x2[..., 0], axis=1)  # (B, M)
+    qs = jnp.take_along_axis(x2, qperm[..., None], axis=1)
+
+    q_tiles = qs.reshape(b, t, tm, 3)
+    xsx = xs[..., 0]
+    tile_lo = q_tiles[..., 0].min(axis=-1) - jnp.float32(radius)  # (B, T)
+    tile_hi = q_tiles[..., 0].max(axis=-1) + jnp.float32(radius)
+    lo = jax.vmap(jnp.searchsorted)(xsx, tile_lo).astype(jnp.int32)
+    hi = jax.vmap(jnp.searchsorted)(xsx, tile_hi).astype(jnp.int32)
+    # 128-align lo downward; the window must still cover [lo_orig, hi).
+    lo_aligned = (jnp.clip(lo, 0, max(n - w, 0)) // _LANES) * _LANES
+    fits = jnp.max(hi - lo_aligned) <= w
+
+    npad = _round_up(n, _LANES)
+    xs_t = jnp.transpose(xs, (0, 2, 1))  # (B, 3, N)
+    perm_in = perm.astype(jnp.int32)[:, None, :]  # (B, 1, N)
+    if npad != n:
+        xs_t = jnp.pad(xs_t, ((0, 0), (0, 0), (0, npad - n)), constant_values=1e30)
+        perm_in = jnp.pad(
+            perm_in, ((0, 0), (0, 0), (0, npad - n)), constant_values=n
+        )
+
+    def windowed(_):
+        kernel = functools.partial(
+            _ball_query_window_kernel,
+            n=n,
+            w=w,
+            t=t,
+            radius=float(radius),
+            nsample=nsample,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, t),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 3, npad), lambda i, j, lo: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, npad), lambda i, j, lo: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, tm, 3),
+                    lambda i, j, lo: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, 1, tm, nsample),
+                    lambda i, j, lo: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, tm),
+                    lambda i, j, lo: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tm, _round_up(nsample, _LANES)), jnp.int32)
+            ],
+        )
+        idx_s, cnt_s = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, tm, nsample), jnp.int32),
+                jax.ShapeDtypeStruct((b, t, 1, tm), jnp.int32),
+            ),
+        )(lo_aligned.reshape(-1), xs_t, perm_in, q_tiles)
+        idx_sorted = idx_s.reshape(b, m, nsample)
+        cnt_sorted = cnt_s.reshape(b, m)
+        # scatter back to the original query order
+        inv = jnp.argsort(qperm, axis=1)
+        idx_out = jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
+        cnt_out = jnp.take_along_axis(cnt_sorted, inv, axis=1)
+        return idx_out, cnt_out
+
+    def full(_):
+        return ball_query_pallas(xyz1, xyz2, radius, nsample)
+
+    return jax.lax.cond(fits, windowed, full, operand=None)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def ball_query_pallas(
     xyz1: jax.Array, xyz2: jax.Array, radius: float, nsample: int

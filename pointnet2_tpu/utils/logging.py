@@ -11,7 +11,7 @@ import json
 import pathlib
 import sys
 import time
-from typing import Optional
+
 
 
 class RunLogger:

@@ -6,7 +6,6 @@ import pytest
 
 from pointnet2_tpu.data import augment
 from pointnet2_tpu.data.io import (
-    PointCloud,
     load_labels,
     read_pcd,
     read_pts,

@@ -60,6 +60,40 @@ def test_three_nn_pallas_matches_numpy(rng):
     np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "b,n,m,radius,nsample,window",
+    [
+        (2, 1024, 128, 0.1, 8, 256),   # windows fit -> windowed path
+        (1, 512, 128, 0.9, 4, 128),    # tight window, may or may not fit
+        (2, 512, 256, 0.05, 16, 128),  # tiny balls
+    ],
+)
+def test_ball_query_windowed_matches_numpy(rng, b, n, m, radius, nsample, window):
+    from pointnet2_tpu.ops.pallas import ball_query_windowed
+
+    xyz1 = _cloud(rng, b, n, scale=1.0)
+    xyz2 = _cloud(rng, b, m, scale=1.0)
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_cnt = ball_query_windowed(xyz1, xyz2, radius, nsample, window)
+    want_idx, want_cnt = reference.ball_query_np(xyz1, xyz2, radius, nsample)
+    np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+
+
+def test_ball_query_windowed_fallback_when_too_dense(rng):
+    # All points at the same x -> spans exceed any window -> cond fallback.
+    from pointnet2_tpu.ops.pallas import ball_query_windowed
+
+    xyz1 = _cloud(rng, 1, 512, scale=1.0)
+    xyz1[:, :, 0] = 0.5
+    xyz2 = xyz1[:, :128]
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_cnt = ball_query_windowed(xyz1, xyz2, 0.3, 8, 128)
+    want_idx, want_cnt = reference.ball_query_np(xyz1, xyz2, 0.3, 8)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+    np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+
+
 def test_ball_query_pallas_empty_ball(rng):
     xyz1 = np.zeros((1, 64, 3), np.float32)
     xyz2 = np.full((1, 32, 3), 50.0, np.float32)

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from pointnet2_tpu.config import Config
-from pointnet2_tpu.parallel import batch_sharding, create_mesh, shard_batch
+from pointnet2_tpu.parallel import create_mesh, shard_batch
 from pointnet2_tpu.train.trainer import (
     Trainer,
     bn_momentum_schedule,
