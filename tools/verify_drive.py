@@ -2,9 +2,12 @@
 package API on the real TPU — synthetic scene -> dataset -> train steps ->
 predict -> densify -> colors."""
 
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 t0 = time.time()
 import jax
