@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""One-shot hardware parity check: every Pallas kernel vs its NumPy oracle
+on the real TPU (the pytest suite runs them in interpret mode on CPU; this
+validates the actual Mosaic lowering). Run from the repo root.
+
+Exit code 0 iff all checks pass.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    import jax.numpy as jnp
+
+    from pointnet2_tpu.ops import reference
+    from pointnet2_tpu.ops.pallas import (
+        ball_query_pallas,
+        ball_query_windowed,
+        farthest_point_sample_pallas,
+        knn_pallas,
+        three_nn_pallas,
+    )
+
+    rng = np.random.RandomState(0)
+    failures = []
+
+    def check(name, ok):
+        print(f"{'PASS' if ok else 'FAIL'}  {name}")
+        if not ok:
+            failures.append(name)
+
+    # FPS across all model shapes (incl. the npad=128 Mosaic-workaround case)
+    for n, m in [(8192, 1024), (1024, 256), (256, 64), (64, 16)]:
+        xyz = (rng.rand(16, n, 3) * 10).astype(np.float32)
+        got = np.asarray(farthest_point_sample_pallas(xyz, m))
+        want = reference.farthest_point_sample_np(xyz, m)
+        check(f"fps n={n} m={m}", (got == want).all())
+
+    # Ball query (full + windowed) at model shapes
+    for n, m, r in [(8192, 1024, 0.5), (1024, 256, 1.0), (256, 64, 2.0), (64, 16, 4.0)]:
+        xyz1 = (rng.rand(8, n, 3) * [10, 10, 5]).astype(np.float32)
+        xyz2 = np.stack(
+            [x[rng.choice(n, m, replace=False)] for x in xyz1]
+        ).astype(np.float32)
+        wi, wc = reference.ball_query_np(xyz1, xyz2, r, 32)
+        gi, gc = ball_query_pallas(jnp.asarray(xyz1), jnp.asarray(xyz2), r, 32)
+        check(
+            f"ball_query n={n} m={m}",
+            (np.asarray(gi) == wi).all() and (np.asarray(gc) == wc).all(),
+        )
+        gi2, gc2 = ball_query_windowed(jnp.asarray(xyz1), jnp.asarray(xyz2), r, 32)
+        check(
+            f"ball_query_windowed n={n} m={m}",
+            (np.asarray(gi2) == wi).all() and (np.asarray(gc2) == wc).all(),
+        )
+
+    # three_nn / knn at FP shapes
+    for nq, m in [(8192, 1024), (1024, 256), (256, 64), (64, 16)]:
+        t = (rng.rand(8, nq, 3) * 10).astype(np.float32)
+        s = (rng.rand(8, m, 3) * 10).astype(np.float32)
+        wd, wi = reference.three_nn_np(t, s)
+        gd, gi = three_nn_pallas(jnp.asarray(t), jnp.asarray(s))
+        check(
+            f"three_nn nq={nq} m={m}",
+            (np.asarray(gi) == wi).all()
+            and np.allclose(np.asarray(gd), wd, rtol=1e-5, atol=1e-6),
+        )
+
+    d2, idx = knn_pallas(jnp.asarray(s), jnp.asarray(t), 8)
+    wd2, wi2 = reference.knn_np(s, t, 8)
+    check("knn k=8", (np.asarray(idx) == wi2).all())
+
+    print(f"\n{len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
