@@ -37,6 +37,7 @@ class PointNet2SemSeg(nn.Module):
     use_color: bool = True
     config: Optional[Config] = None
     ops_impl: Optional[str] = None
+    pre_project: bool = True
 
     @nn.compact
     def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
@@ -57,6 +58,7 @@ class PointNet2SemSeg(nn.Module):
                 nsample=spec.nsample,
                 mlp=mlp,
                 ops_impl=self.ops_impl,
+                pre_project=self.pre_project,
                 name=f"sa{i + 1}",
             )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             xyzs.append(new_xyz)

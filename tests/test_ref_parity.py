@@ -1,0 +1,206 @@
+"""End-to-end parity vs the ACTUAL reference model code.
+
+tools/refbridge.py imports /root/reference/model.py (+ util/tf_util.py,
+util/pointnet_util.py) under TF compat.v1 with the CUDA ops replaced by this
+repo's NumPy oracles, builds the authentic reference graph, and saves a real
+TF V2 checkpoint. These tests prove:
+
+- the TF-checkpoint converter (pointnet2_tpu/convert.py) maps every variable
+  correctly (round-trip inverse test),
+- PointNet2SemSeg with converted weights reproduces the reference logits,
+  argmax labels, loss value, parameter gradients, and training-mode BN
+  moving-stat updates.
+
+This is the evidence that a trained reference checkpoint, converted, will
+reproduce reference predictions (model.py:22-161 parity).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+jax = pytest.importorskip("jax")
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
+import refbridge  # noqa: E402
+
+if not refbridge.reference_available():
+    pytest.skip("/root/reference not available", allow_module_level=True)
+
+from pointnet2_tpu import convert  # noqa: E402
+from pointnet2_tpu.config import Config  # noqa: E402
+from pointnet2_tpu.models.pointnet2_seg import (  # noqa: E402
+    PointNet2SemSeg,
+    weighted_ce_loss,
+)
+
+BATCH, NUM_POINT = 2, 256
+HYPER = dict(
+    use_color=1,
+    l1_npoint=64, l1_radius=0.5, l1_nsample=16,
+    l2_npoint=32, l2_radius=1.0, l2_nsample=16,
+    l3_npoint=16, l3_radius=2.0, l3_nsample=16,
+    l4_npoint=8, l4_radius=4.0, l4_nsample=16,
+)
+
+
+def _config() -> Config:
+    return Config(**{k: v for k, v in HYPER.items() if k != "use_color"},
+                  use_color=HYPER["use_color"], num_point=NUM_POINT)
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    model = refbridge.ReferenceModel(HYPER, NUM_POINT, BATCH, seed=7)
+    ckpt_dir = tmp_path_factory.mktemp("refckpt")
+    ckpt_path = model.save(str(ckpt_dir / "model.ckpt"))
+    rng = np.random.RandomState(42)
+    points = rng.randn(BATCH, NUM_POINT, 6).astype(np.float32) * 2.0
+    labels = rng.randint(0, 9, size=(BATCH, NUM_POINT)).astype(np.int32)
+    smpws = rng.rand(BATCH, NUM_POINT).astype(np.float32)
+    smpws[labels == 0] = 0.0  # exercise SUM_BY_NONZERO_WEIGHTS
+    yield dict(model=model, ckpt=ckpt_path, points=points, labels=labels, smpws=smpws)
+    model.close()
+
+
+def _jax_model():
+    return PointNet2SemSeg(num_classes=9, use_color=True, config=_config())
+
+
+@pytest.mark.parametrize("pre_project", [True, False])
+def test_converted_logits_match_reference(ref, pre_project):
+    variables = convert.convert_checkpoint(ref["ckpt"], pre_project=pre_project)
+    ref_logits = ref["model"].run_logits(ref["points"], training=False)
+
+    model = PointNet2SemSeg(
+        num_classes=9, use_color=True, config=_config(), pre_project=pre_project
+    )
+    jax_logits = np.asarray(model.apply(variables, ref["points"], train=False))
+
+    diff = np.abs(jax_logits - ref_logits)
+    scale = np.abs(ref_logits).max()
+    assert diff.max() <= max(1e-3, 1e-3 * scale), (diff.max(), scale)
+    agree = (jax_logits.argmax(-1) == ref_logits.argmax(-1)).mean()
+    assert agree == 1.0, f"label agreement {agree:.4f}"
+
+
+def test_converter_round_trip(ref):
+    tf_vars = convert.read_tf_checkpoint(ref["ckpt"])
+    for pre_project in (True, False):
+        flax_vars = convert.tf_vars_to_flax(tf_vars, pre_project=pre_project)
+        back = convert.flax_to_tf_vars(flax_vars)
+        assert set(back) == set(tf_vars)
+        for name in tf_vars:
+            np.testing.assert_array_equal(back[name], tf_vars[name], err_msg=name)
+
+
+def test_npz_export_path(ref, tmp_path):
+    tf_vars = convert.read_tf_checkpoint(ref["ckpt"])
+    npz = tmp_path / "ref.npz"
+    np.savez(npz, **tf_vars)
+    via_npz = convert.convert_checkpoint(str(npz))
+    direct = convert.convert_checkpoint(ref["ckpt"])
+    flat_a = jax.tree_util.tree_leaves(via_npz)
+    flat_b = jax.tree_util.tree_leaves(direct)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loss_matches_reference(ref):
+    variables = convert.convert_checkpoint(ref["ckpt"])
+    ref_loss = ref["model"].run_loss(
+        ref["points"], ref["labels"], ref["smpws"], training=False
+    )
+    logits = _jax_model().apply(variables, ref["points"], train=False)
+    jax_loss = float(weighted_ce_loss(logits, ref["labels"], ref["smpws"]))
+    assert abs(jax_loss - ref_loss) <= 1e-4 * max(1.0, abs(ref_loss)), (
+        jax_loss,
+        ref_loss,
+    )
+
+
+def test_gradients_match_reference(ref):
+    variables = convert.convert_checkpoint(ref["ckpt"])
+    tf_grads = ref["model"].run_grads(
+        ref["points"], ref["labels"], ref["smpws"], training=False
+    )
+    grads_flax = convert.tf_vars_to_flax(tf_grads, pre_project=True)["params"]
+
+    model = _jax_model()
+
+    def loss_fn(params):
+        logits = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            ref["points"],
+            train=False,
+        )
+        return weighted_ce_loss(logits, ref["labels"], ref["smpws"])
+
+    jax_grads = jax.grad(loss_fn)(variables["params"])
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(grads_flax)[0]
+    flat_jax = dict(
+        (jax.tree_util.keystr(p), np.asarray(v))
+        for p, v in jax.tree_util.tree_flatten_with_path(jax_grads)[0]
+    )
+    assert len(flat_ref) == len(flat_jax)
+    worst = 0.0
+    for path, gref in flat_ref:
+        key = jax.tree_util.keystr(path)
+        gjax = flat_jax[key]
+        gref = np.asarray(gref)
+        denom = max(np.abs(gref).max(), 1e-6)
+        rel = np.abs(gjax - gref).max() / denom
+        worst = max(worst, rel)
+        assert rel <= 5e-3, f"{key}: rel err {rel:.2e}"
+    assert worst <= 5e-3
+
+
+def test_train_mode_bn_stats_match_reference(ref):
+    """One training-mode forward updates BN moving stats identically."""
+    variables = convert.convert_checkpoint(ref["ckpt"])
+    bn_decay = 0.77
+
+    # Reference: train-mode forward mutates moving stats in the session.
+    m = ref["model"]
+    m.sess.run(
+        m.logits,
+        {m.pointclouds: ref["points"], m.is_training: True, m.bn_decay: bn_decay},
+    )
+    tf_vars_after = m.var_dict()
+    ref_stats = convert.tf_vars_to_flax(tf_vars_after, pre_project=True)[
+        "batch_stats"
+    ]
+
+    model = _jax_model()
+    _, mutated = model.apply(
+        variables,
+        ref["points"],
+        train=True,
+        bn_momentum=bn_decay,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), np.asarray(v))
+        for p, v in jax.tree_util.tree_flatten_with_path(ref_stats)[0]
+    )
+    flat_jax = dict(
+        (jax.tree_util.keystr(p), np.asarray(v))
+        for p, v in jax.tree_util.tree_flatten_with_path(mutated["batch_stats"])[0]
+    )
+    assert set(flat_ref) == set(flat_jax)
+    for key, vref in flat_ref.items():
+        vjax = flat_jax[key]
+        denom = max(np.abs(vref).max(), 1e-6)
+        rel = np.abs(vjax - vref).max() / denom
+        assert rel <= 1e-4, f"{key}: rel err {rel:.2e}"
+
+    # restore the session's moving stats so fixture reuse stays deterministic
+    m.restore(ref["ckpt"])
