@@ -98,6 +98,17 @@ def main() -> None:
         np.asarray(trainer.predict_step(state, x))
     print(f"Profiler trace written to {flags.trace_dir}")
 
+    # Per-op report, the tf-profile.txt equivalent (reference benchmark.py:44-54).
+    from pointnet2_tpu.utils import xplane
+
+    report_path = os.path.join(flags.trace_dir, "tpu-profile.txt")
+    try:
+        rows = xplane.write_op_report(flags.trace_dir, report_path)
+        print(f"Per-op profile ({len(rows)} ops) written to {report_path}")
+        sys.stdout.write(xplane.format_report(rows, top=15, title="top ops"))
+    except FileNotFoundError as e:  # pragma: no cover - trace layout changed
+        print(f"per-op report skipped: {e}")
+
     batch_time = timed_forward(x)
     print(
         f"Batch size: {batch_size}, batch_time: {batch_time}, "

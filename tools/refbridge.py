@@ -378,5 +378,17 @@ class ReferenceModel:
     def restore(self, path: str) -> None:
         self.saver.restore(self.sess, path)
 
+    def load_var_dict(self, values: dict[str, np.ndarray]) -> None:
+        """Assign {reference_var_name: array} into the live graph (e.g. the
+        output of pointnet2_tpu.convert.flax_to_tf_vars)."""
+        with self.graph.as_default():
+            gvars = {v.op.name: v for v in self.tf1.global_variables()}
+        missing = set(gvars) - set(values)
+        extra = set(values) - set(gvars)
+        if missing or extra:
+            raise ValueError(f"variable mismatch: missing={missing} extra={extra}")
+        for name, var in gvars.items():
+            var.load(np.asarray(values[name]).reshape(var.shape), self.sess)
+
     def close(self):
         self.sess.close()
