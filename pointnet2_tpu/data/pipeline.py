@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
 import jax
@@ -37,7 +36,6 @@ class BatchProducer:
         self._sample_fn = sample_fn
         self._queue: queue.Queue = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
-        self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._threads = [
             threading.Thread(target=self._fill, daemon=True)
             for _ in range(num_workers)
@@ -67,6 +65,11 @@ class BatchProducer:
         if isinstance(item, _ProducerError):
             raise RuntimeError(f"batch producer failed:\n{item.tb}")
         return item
+
+    def __iter__(self) -> Iterator:
+        """Endless iterator view (for device_prefetch wrapping)."""
+        while True:
+            yield self.get()
 
     def stop(self) -> None:
         self._stop.set()

@@ -40,9 +40,9 @@ def main() -> None:
     setup_compilation_cache()
 
     from pointnet2_tpu.config import Config
-    from pointnet2_tpu.data.pipeline import BatchProducer
+    from pointnet2_tpu.data.pipeline import BatchProducer, device_prefetch
     from pointnet2_tpu.data.semantic3d import SemanticDataset
-    from pointnet2_tpu.parallel import create_mesh, shard_batch
+    from pointnet2_tpu.parallel import batch_sharding, create_mesh
     from pointnet2_tpu.train.trainer import (
         Trainer,
         restore_checkpoint,
@@ -101,6 +101,13 @@ def main() -> None:
         max_queue=8,
         num_workers=2,
     )
+    # H2D overlap: batches are transferred to HBM (sharded over the mesh)
+    # while the previous step computes, so the TPU never waits on the host
+    # (replaces the reference's feed_dict transfer inside the hot loop,
+    # train.py:225-244).
+    sharding = batch_sharding(mesh)
+    train_iter = device_prefetch(train_producer, sharding=sharding, depth=2)
+    val_iter = device_prefetch(val_producer, sharding=sharding, depth=2)
 
     num_train_batches = train_ds.get_num_batches(cfg.batch_size)
     num_val_batches = val_ds.get_num_batches(cfg.batch_size)
@@ -120,7 +127,7 @@ def main() -> None:
             dev_cm = None
             for i in range(num_train_batches):
                 update_progress(i / max(num_train_batches, 1))
-                batch = shard_batch(train_producer.get(), mesh)
+                batch = next(train_iter)
                 state, metrics = trainer.train_step(state, batch, dropout_rng)
                 dev_losses.append(metrics["loss"])
                 dev_cm = (
@@ -157,7 +164,7 @@ def main() -> None:
                 dev_vcm = None
                 vlosses = []
                 for i in range(num_val_batches):
-                    batch = shard_batch(val_producer.get(), mesh)
+                    batch = next(val_iter)
                     metrics = trainer.eval_step(state, batch)
                     vlosses.append(metrics["loss"])
                     dev_vcm = (
@@ -170,9 +177,18 @@ def main() -> None:
                 acc = vcm.get_accuracy()
                 logger.log(f"---- EPOCH {epoch:03d} EVALUATION ----")
                 logger.log(f"eval accuracy: {acc:f}  mIoU: {vcm.get_mean_iou():f}")
+                vious = [0.0] + vcm.get_per_class_ious()
+                for c in range(1, val_ds.num_classes):
+                    logger.log(
+                        f"eval IoU of {val_ds.labels_names[c]} : {vious[c]:f}"
+                    )
                 logger.scalars(
                     int(state.step), "validation", accuracy=acc,
                     miou=vcm.get_mean_iou(),
+                    **{
+                        f"iou_{val_ds.labels_names[c]}": vious[c]
+                        for c in range(1, val_ds.num_classes)
+                    },
                 )
 
             if acc > best_acc:
