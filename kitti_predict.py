@@ -4,7 +4,9 @@
 CLI parity with the reference's kitti_predict.py: loads a drive, crops each
 frame near the origin, runs the no-color model on one fixed-size sample, then
 densifies labels to the full cropped frame — and reports a per-stage timer
-with FPS (kitti_predict.py:107-227).
+with FPS (kitti_predict.py:107-227). --render writes a colorized PNG per
+frame (headless playback sequence; the reference shows a live Open3D window,
+kitti_predict.py:151-204).
 
 The reference fuses model + argmax + InterpolateLabelWithColor into one TF
 graph (one sess.run, :30-104). Here both stages are jitted on TPU: the
@@ -29,9 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     np.random.seed(0)
     parser = argparse.ArgumentParser()
-    parser.add_argument("--num_samples", type=int, default=8)
     parser.add_argument("--ckpt", default="", required=True, help="Checkpoint dir")
     parser.add_argument("--save", action="store_true", default=False)
+    parser.add_argument(
+        "--render",
+        action="store_true",
+        default=False,
+        help="write a colorized PNG per frame to result/frames/ (the headless "
+        "equivalent of the reference's live visualizer, kitti_predict.py:151-204)",
+    )
     parser.add_argument("--kitti_root", default="", required=True)
     parser.add_argument("--config_file", default="semantic_no_color.json")
     parser.add_argument("--dates", nargs="+", default=["2011_09_26"])
@@ -49,13 +57,17 @@ def main() -> None:
     from pointnet2_tpu.data.kitti import KittiDataset
     from pointnet2_tpu.ops.densify import densify_labels_device
     from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
+    from pointnet2_tpu.utils.render import render_cloud_png
 
     cfg = Config.from_json(flags.config_file)
 
     sparse_dir = os.path.join("result", "sparse")
     dense_dir = os.path.join("result", "dense")
+    frames_dir = os.path.join("result", "frames")
     os.makedirs(sparse_dir, exist_ok=True)
     os.makedirs(dense_dir, exist_ok=True)
+    if flags.render:
+        os.makedirs(frames_dir, exist_ok=True)
 
     dataset = KittiDataset(
         num_points_per_sample=cfg.num_point,
@@ -105,9 +117,21 @@ def main() -> None:
         dense_colors = np.asarray(dense_colors_dev)
         timer["predict_interpolate"] += time.time() - start
 
+        prefix = os.path.basename(kitti_file_data.file_path_without_ext)
+        frame_name = kitti_file_data.file_path_without_ext.replace(os.sep, "_")
+        if flags.render:
+            start = time.time()
+            png = os.path.join(frames_dir, frame_name + ".png")
+            render_cloud_png(
+                dense_points,
+                np.asarray(dense_colors) / 255.0,
+                png,
+                title=frame_name,
+            )
+            timer["visualize"] += time.time() - start
+
         if flags.save:
             start = time.time()
-            prefix = os.path.basename(kitti_file_data.file_path_without_ext)
             pcd_path = os.path.join(dense_dir, prefix + ".pcd")
             write_pcd(pcd_path, dense_points, np.asarray(dense_colors) / 255.0)
             print(f"Exported dense_pcd to {pcd_path}")

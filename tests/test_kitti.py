@@ -8,19 +8,40 @@ import pytest
 from pointnet2_tpu.data.kitti import (
     KittiDataset,
     KittiFileData,
+    KittiRawDrive,
     crop_box,
+    load_calib,
+    load_timestamps,
     load_velodyne_bin,
+    oxts_to_pose,
 )
 
 
 def _write_drive(tmp_path, rng, date="2011_09_26", drive="0095", frames=3, n=5000):
-    d = tmp_path / date / f"{date}_drive_{drive}_sync" / "velodyne_points" / "data"
+    base = tmp_path / date / f"{date}_drive_{drive}_sync"
+    d = base / "velodyne_points" / "data"
     d.mkdir(parents=True)
     for i in range(frames):
         scan = np.zeros((n, 4), np.float32)
         scan[:, :3] = rng.randn(n, 3) * [20, 10, 2]
         scan[:, 3] = rng.rand(n)
         scan.tofile(d / f"{i:010d}.bin")
+    with open(base / "velodyne_points" / "timestamps.txt", "w") as f:
+        for i in range(frames):
+            f.write(f"2011-09-26 13:02:{25 + i:02d}.5943603{i}5\n")
+    ox = base / "oxts" / "data"
+    ox.mkdir(parents=True)
+    for i in range(frames):
+        vals = np.zeros(30)
+        vals[0] = 49.011 + i * 1e-5  # lat
+        vals[1] = 8.417 + i * 1e-5  # lon
+        vals[2] = 112.8  # alt
+        vals[5] = 0.1 * i  # yaw
+        np.savetxt(ox / f"{i:010d}.txt", vals[None], fmt="%.9f")
+    with open(tmp_path / date / "calib_imu_to_velo.txt", "w") as f:
+        f.write("calib_time: 25-May-2012 16:47:16\n")
+        f.write("R: 1 0 0 0 1 0 0 0 1\n")
+        f.write("T: 0.1 0.2 0.3\n")
     return tmp_path
 
 
@@ -74,3 +95,62 @@ class TestKitti:
     def test_missing_drive_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             KittiDataset(512, str(tmp_path), ["2011_09_26"], ["0001"], 60, 20)
+
+
+class TestKittiRaw:
+    """pykitti.raw-equivalent metadata loaders (kitti_dataset.py:88-106)."""
+
+    def test_drive_scans_and_timestamps(self, rng, tmp_path):
+        root = _write_drive(tmp_path, rng, frames=3)
+        drive = KittiRawDrive(str(root), "2011_09_26", "0095")
+        assert len(drive) == 3
+        assert drive.get_velo(1).shape == (5000, 4)
+        ts = drive.velo_timestamps
+        assert ts.shape == (3,)
+        # nanosecond fractions preserved, strictly increasing (1s apart)
+        assert np.all(np.diff(ts) > 0.99)
+        frac = ts[0] - np.floor(ts[0])
+        assert abs(frac - 0.59436030499999) < 1e-6
+
+    def test_oxts_packets_and_poses(self, rng, tmp_path):
+        root = _write_drive(tmp_path, rng, frames=3)
+        drive = KittiRawDrive(str(root), "2011_09_26", "0095")
+        packets, poses = drive.oxts
+        assert packets.shape == (3, 30)
+        assert poses.shape == (3, 4, 4)
+        # rotation blocks are orthonormal
+        for p in poses:
+            r = p[:3, :3]
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+            assert p[3, 3] == 1.0
+        # Mercator: +1e-5 deg lon at lat 49 is ~0.73 m east
+        dx = poses[1, 0, 3] - poses[0, 0, 3]
+        assert 0.5 < dx < 1.0
+        # yaw differences show up in the rotation
+        assert not np.allclose(poses[0, :3, :3], poses[2, :3, :3])
+
+    def test_calib(self, rng, tmp_path):
+        root = _write_drive(tmp_path, rng, frames=1)
+        drive = KittiRawDrive(str(root), "2011_09_26", "0095")
+        calib = drive.calib
+        np.testing.assert_array_equal(
+            calib["imu_to_velo/R"], np.eye(3).ravel()
+        )
+        np.testing.assert_allclose(calib["imu_to_velo/T"], [0.1, 0.2, 0.3])
+        assert isinstance(calib["imu_to_velo/calib_time"], str)
+
+    def test_timestamp_and_calib_loaders_direct(self, rng, tmp_path):
+        root = _write_drive(tmp_path, rng, frames=2)
+        base = root / "2011_09_26" / "2011_09_26_drive_0095_sync"
+        ts = load_timestamps(str(base / "velodyne_points" / "timestamps.txt"))
+        assert len(ts) == 2
+        calib = load_calib(str(root / "2011_09_26" / "calib_imu_to_velo.txt"))
+        assert set(calib) == {"calib_time", "R", "T"}
+
+    def test_pose_identity_at_zero_rpy(self):
+        packets = np.zeros((2, 30))
+        packets[:, 0] = 49.0
+        packets[:, 1] = 8.4
+        poses = oxts_to_pose(packets)
+        np.testing.assert_allclose(poses[0, :3, :3], np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(poses[0, :3, 3], poses[1, :3, 3])

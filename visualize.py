@@ -45,26 +45,10 @@ def main() -> None:
     if flags.stats:
         return
 
-    if len(pts) > flags.max_points:
-        sel = np.random.RandomState(0).choice(len(pts), flags.max_points, replace=False)
-        pts = pts[sel]
-        colors = colors[sel] if colors is not None else None
+    from pointnet2_tpu.utils.render import render_cloud_png
 
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, axes = plt.subplots(1, 2, figsize=(16, 8))
-    c = colors if colors is not None else pts[:, 2]
-    axes[0].scatter(pts[:, 0], pts[:, 1], s=0.05, c=c)
-    axes[0].set_title("top (x-y)")
-    axes[1].scatter(pts[:, 0], pts[:, 2], s=0.05, c=c)
-    axes[1].set_title("front (x-z)")
-    for ax in axes:
-        ax.set_aspect("equal")
     out = flags.out or flags.pcd + ".png"
-    fig.savefig(out, dpi=120, bbox_inches="tight")
+    render_cloud_png(pts, colors, out, max_points=flags.max_points)
     print("wrote", out)
 
 
