@@ -37,16 +37,57 @@ class RunLogger:
         self._scalars.close()
 
 
-def update_progress(progress: float, bar_length: int = 10) -> None:
-    """Console progress bar (train.py:55-77)."""
-    if isinstance(progress, int):
-        progress = float(progress)
-    if not isinstance(progress, float):
-        progress = 0.0
-    progress = min(max(progress, 0.0), 1.0)
-    block = int(round(bar_length * progress))
-    text = "\rProgress: [{}] {}%".format(
-        "#" * block + "-" * (bar_length - block), progress * 100
+def update_progress(progress, bar_length: int = 10) -> None:
+    """In-place console progress bar (role of the reference's train.py:55-77).
+
+    Accepts any real number; values outside [0, 1] (or non-numbers) clamp.
+    """
+    try:
+        frac = min(max(float(progress), 0.0), 1.0)
+    except (TypeError, ValueError):
+        frac = 0.0
+    filled = round(frac * bar_length)
+    sys.stdout.write(
+        f"\rProgress: [{'#' * filled}{'-' * (bar_length - filled)}] {frac * 100:g}%"
     )
-    sys.stdout.write(text)
     sys.stdout.flush()
+
+
+def export_tensorboard(
+    logdir: str | pathlib.Path, out_dir: str | pathlib.Path | None = None
+) -> list[pathlib.Path]:
+    """Convert scalars.jsonl into TensorBoard event files, one run per tag.
+
+    The reference writes per-split FileWriters (train.py:400-407); this
+    produces the same layout (<out>/<tag>/events.*) from the JSONL history,
+    so `tensorboard --logdir <logdir>/tb` works. Uses tensorboardX (baked in);
+    raises ImportError with a hint if unavailable.
+    """
+    from tensorboardX import SummaryWriter
+
+    logdir = pathlib.Path(logdir)
+    out = pathlib.Path(out_dir) if out_dir else logdir / "tb"
+    scalars_path = logdir / "scalars.jsonl"
+    if not scalars_path.is_file():
+        raise FileNotFoundError(scalars_path)
+    writers: dict[str, SummaryWriter] = {}
+    written: list[pathlib.Path] = []
+    with open(scalars_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            tag = rec.pop("tag", "default")
+            step = int(rec.pop("step", 0))
+            walltime = rec.pop("time", None)
+            if tag not in writers:
+                run_dir = out / tag
+                run_dir.mkdir(parents=True, exist_ok=True)
+                writers[tag] = SummaryWriter(logdir=str(run_dir))
+                written.append(run_dir)
+            for key, value in rec.items():
+                writers[tag].add_scalar(key, float(value), step, walltime=walltime)
+    for w in writers.values():
+        w.close()
+    return written

@@ -84,25 +84,36 @@ class ConfusionMatrix:
         total = valid.sum()
         return float(np.trace(valid)) / total if total else 0.0
 
-    def print_metrics(self, labels=None) -> None:
-        print("Confusion matrix:")
+    def format_metrics(self, labels=None) -> str:
+        """Render the matrix + per-class IoUs as one aligned text block.
+
+        Same information content as the reference's printer
+        (util/metric.py:85-124); the table is built functionally as a list of
+        padded cell rows and returned (print_metrics prints it), with IoUs
+        shown one named class per line instead of a raw list.
+        """
         if labels is None:
             labels = [str(v) for v in range(self.num_classes)]
-        elif len(labels) != self.num_classes:
+        if len(labels) != self.num_classes:
             raise ValueError("len(labels) != self.num_classes")
-        width = max([len(x) for x in labels] + [7])
-        print("    " + " " * width, end=" ")
-        for label in labels:
-            print(f"%{width}s" % label, end=" ")
-        print()
-        for i, label in enumerate(labels):
-            print(f"    %{width}s" % label, end=" ")
-            for j in range(len(labels)):
-                print(f"%{width}.0f" % self.confusion_matrix[i, j], end=" ")
-            print()
-        print("IoU per class:")
-        print(self.get_per_class_ious())
-        print("mIoU (ignoring label 0):")
-        print(self.get_mean_iou())
-        print("Overall accuracy")
-        print(self.get_accuracy())
+        width = max(max(len(x) for x in labels), 7) + 1
+        pad = lambda v: str(v).rjust(width)  # noqa: E731
+        header = " " * (width + 4) + "".join(pad(name) for name in labels)
+        body = [
+            "    "
+            + pad(name)
+            + "".join(pad(int(v)) for v in self.confusion_matrix[i])
+            for i, name in enumerate(labels)
+        ]
+        ious = self.get_per_class_ious()
+        iou_lines = [
+            f"    {name}: {iou:.6f}" for name, iou in zip(labels[1:], ious)
+        ]
+        return "\n".join(
+            ["Confusion matrix:", header, *body, "IoU per class (label 0 ignored):",
+             *iou_lines, f"mIoU: {self.get_mean_iou():.6f}",
+             f"Overall accuracy: {self.get_accuracy():.6f}"]
+        )
+
+    def print_metrics(self, labels=None) -> None:
+        print(self.format_metrics(labels))

@@ -41,3 +41,40 @@ def test_update_progress_bounds(capsys):
     update_progress("bogus")  # non-float -> treated as 0
     out = capsys.readouterr().out
     assert "100.0%" in out or "100%" in out
+
+
+def test_export_tensorboard_round_trip(tmp_path):
+    pytest = __import__("pytest")
+    pytest.importorskip("tensorboardX")
+    ea_mod = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_accumulator"
+    )
+
+    logger = RunLogger(tmp_path)
+    logger.scalars(10, "train", loss=1.5, accuracy=0.25)
+    logger.scalars(20, "train", loss=1.0, accuracy=0.5)
+    logger.scalars(20, "validation", accuracy=0.4, miou=0.2)
+    logger.close()
+
+    from pointnet2_tpu.utils.logging import export_tensorboard
+
+    runs = export_tensorboard(tmp_path)
+    assert sorted(r.name for r in runs) == ["train", "validation"]
+
+    acc = ea_mod.EventAccumulator(str(tmp_path / "tb" / "train"))
+    acc.Reload()
+    assert set(acc.Tags()["scalars"]) == {"loss", "accuracy"}
+    loss_events = acc.Scalars("loss")
+    assert [(e.step, e.value) for e in loss_events] == [(10, 1.5), (20, 1.0)]
+
+    vacc = ea_mod.EventAccumulator(str(tmp_path / "tb" / "validation"))
+    vacc.Reload()
+    assert vacc.Scalars("miou")[0].value == pytest.approx(0.2)
+
+
+def test_export_tensorboard_missing_file(tmp_path):
+    pytest = __import__("pytest")
+    from pointnet2_tpu.utils.logging import export_tensorboard
+
+    with pytest.raises(FileNotFoundError):
+        export_tensorboard(tmp_path)

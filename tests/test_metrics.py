@@ -62,3 +62,31 @@ def test_invalid_labels_raise():
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+def test_format_metrics_table():
+    from pointnet2_tpu.utils.metrics import ConfusionMatrix
+
+    cm = ConfusionMatrix(3)
+    cm.increment_from_list([1, 1, 2, 2, 2], [1, 2, 2, 2, 1])
+    labels = ["unlabeled", "car", "tree"]
+    text = cm.format_metrics(labels)
+    assert "Confusion matrix:" in text
+    for name in labels:
+        assert name in text
+    # matrix content appears row-aligned
+    assert "mIoU:" in text and "Overall accuracy:" in text
+    # IoU values: car 1/(2+2-1)=1/3, tree 2/(3+3-2)=0.5
+    assert "car: 0.333333" in text
+    assert "tree: 0.500000" in text
+    import re
+    m = re.search(r"mIoU: ([0-9.]+)", text)
+    assert abs(float(m.group(1)) - (1 / 3 + 0.5) / 2) < 1e-6
+
+
+def test_print_metrics_wrong_labels_raise():
+    from pointnet2_tpu.utils.metrics import ConfusionMatrix
+    import pytest
+
+    with pytest.raises(ValueError):
+        ConfusionMatrix(3).format_metrics(["a", "b"])

@@ -71,6 +71,14 @@ def main():
     ap.add_argument("--num_samples", type=int, default=64)
     ap.add_argument("--num_dense", type=int, default=300_000)
     ap.add_argument("--out", default="PARITY_E2E.md")
+    ap.add_argument(
+        "--matmul_precision",
+        default="highest",
+        choices=["default", "high", "highest"],
+        help="matmul precision for the COMPARISON forwards (TPU MXU uses "
+        "bf16 inputs at 'default', which injects ~1e-2 per-layer noise vs "
+        "the f32 TF reference; 'highest' makes the comparison apples-to-apples)",
+    )
     args = ap.parse_args()
 
     t0 = time.time()
@@ -145,12 +153,35 @@ def main():
     print(f"[train] {args.steps} steps: loss {first:.3f} -> {last:.3f} "
           f"({time.time() - t:.1f}s incl. compile)")
 
-    # logits fn for diff stats
+    # logits fn for diff stats (precision-pinned for the comparison)
     @jax.jit
     def logits_fn(params, batch_stats, points):
-        return trainer.model.apply(
-            {"params": params, "batch_stats": batch_stats}, points, train=False
-        )
+        with jax.default_matmul_precision(args.matmul_precision):
+            return trainer.model.apply(
+                {"params": params, "batch_stats": batch_stats}, points, train=False
+            )
+
+    # attribution check: neighbor ops on this backend vs the NumPy oracle
+    from pointnet2_tpu import ops
+    from pointnet2_tpu.ops import reference as oracle
+
+    probe = np.stack(
+        [
+            np.hstack(fds["strata"].sample(cfg.num_point)[0:1]).astype(np.float32)
+            for _ in range(2)
+        ]
+    )
+    fps_dev = np.asarray(ops.farthest_point_sample(jnp.asarray(probe), cfg.l1_npoint))
+    fps_ora = oracle.farthest_point_sample_np(probe, cfg.l1_npoint)
+    ctr = np.stack([probe[i, fps_ora[i]] for i in range(len(probe))])
+    bq_dev, _ = ops.ball_query(jnp.asarray(probe), jnp.asarray(ctr), cfg.l1_radius,
+                               cfg.l1_nsample)
+    bq_ora, _ = oracle.ball_query_np(probe, ctr, cfg.l1_radius, cfg.l1_nsample)
+    op_agreement = dict(
+        fps=float((fps_dev == fps_ora).mean()),
+        ball_query=float((np.asarray(bq_dev) == bq_ora).mean()),
+    )
+    print(f"[ops] device-vs-oracle index agreement: {op_agreement}")
 
     # -- 3. export trained weights into the reference graph ------------------
     params_np = jax.tree.map(np.asarray, jax.device_get(state.params))
@@ -243,6 +274,11 @@ def main():
         f"flagship config: {cfg.num_point} points/sample, batch {cfg.batch_size}).",
         "",
         f"- jax backend: {jax.default_backend()}",
+        f"- comparison matmul precision: {args.matmul_precision} (at 'default' "
+        "the TPU MXU takes bf16 inputs — fast production mode but ~1e-2 "
+        "per-layer noise vs the f32 TF reference)",
+        f"- neighbor-op index agreement device-vs-oracle (flagship shapes): "
+        f"fps {op_agreement['fps']:.4f}, ball_query {op_agreement['ball_query']:.4f}",
         f"- training: {args.steps} steps, loss {first:.3f} -> {last:.3f}",
         f"- scenes: 2 synthetic ({args.num_dense:,} dense pts each; real",
         "  Semantic3D data is not downloadable in this environment — zero egress)",
