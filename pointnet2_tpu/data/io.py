@@ -75,16 +75,11 @@ def read_pcd(path: str | pathlib.Path) -> PointCloud:
             ]
         )
         if h["DATA"] == "ascii":
-            raw = np.loadtxt(f, dtype=np.float64, max_rows=npoints, ndmin=2)
-            rec = {name: raw[:, i] for i, name in enumerate(fields)}
-            # Reinterpret a packed-rgb column through its declared type.
-            if "rgb" in fields:
-                col = raw[:, fields.index("rgb")]
-                t = types[fields.index("rgb")]
-                if t == "F":
-                    rec["rgb"] = col.astype(np.float32)
-                else:
-                    rec["rgb"] = col.astype(np.uint32)
+            # Parse each column directly in its DECLARED type. Going through
+            # float64 text and casting back would double-round packed-rgb
+            # float32 bit patterns (denormals etc.) and corrupt the colors.
+            arr = np.loadtxt(f, dtype=np_dtype, max_rows=npoints, ndmin=1)
+            rec = {name: arr[name] for name in fields}
         elif h["DATA"] == "binary":
             buf = f.read(npoints * np_dtype.itemsize)
             arr = np.frombuffer(buf, dtype=np_dtype, count=npoints)

@@ -22,6 +22,7 @@ from pointnet2_tpu.ops.core import (
     knn_xla,
     prob_sample,
     select_top_k,
+    selection_sort,
     three_interpolate,
     three_nn_xla,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "group_points",
     "knn",
     "select_top_k",
+    "selection_sort",
     "three_nn",
     "three_interpolate",
     "interpolation_weights",

@@ -158,15 +158,48 @@ def knn_xla(xyz1: Array, xyz2: Array, k: int) -> tuple[Array, Array]:
     return -neg_d, idx.astype(jnp.int32)
 
 
-def select_top_k(k: int, dist: Array) -> tuple[Array, Array]:
-    """k smallest entries per row of a dense (B, M, N) distance matrix.
+@functools.partial(jax.jit, static_argnums=(1,))
+def selection_sort(dist: Array, k: int) -> tuple[Array, Array]:
+    """Full-row SelectionSort with exact reference semantics.
 
-    Mirrors tf_ops/tf_grouping.py:31-43 / SelectionSort, returning
-    (idx, dist) of the k smallest (already-sliced, unlike the reference
-    which returns full rows and slices afterwards).
+    Mirrors tf_ops/tf_grouping.cu:93-136: returns FULL (B, M, N) rows where
+    positions 0..k-1 hold the k smallest values ascending (ties keep the
+    first occurrence, strict <) and positions k..N-1 hold the remaining
+    values in the partially-permuted order the in-place swaps leave behind.
+    Returns (idx, dist_out).
     """
-    neg_d, idx = lax.top_k(-dist, k)
-    return idx.astype(jnp.int32), -neg_d
+    b, m, n = dist.shape
+    vals0 = dist.astype(jnp.float32)
+    idxs0 = jnp.broadcast_to(
+        lax.broadcasted_iota(jnp.int32, (b, m, n), 2), (b, m, n)
+    )
+    pos = lax.broadcasted_iota(jnp.int32, (b, m, n), 2)
+
+    def body(s, carry):
+        vals, idxs = carry
+        masked = jnp.where(pos >= s, vals, jnp.float32(jnp.inf))
+        mn = jnp.argmin(masked, axis=-1)[..., None]  # (B, M, 1) first min
+        # swap position s <-> mn (in-place selection-sort step, cu:124-133)
+        val_s = jnp.take_along_axis(vals, jnp.full_like(mn, 0) + s, axis=-1)
+        val_m = jnp.take_along_axis(vals, mn, axis=-1)
+        idx_s = jnp.take_along_axis(idxs, jnp.full_like(mn, 0) + s, axis=-1)
+        idx_m = jnp.take_along_axis(idxs, mn, axis=-1)
+        at_s = pos == s
+        at_m = pos == mn
+        vals = jnp.where(at_s, val_m, jnp.where(at_m, val_s, vals))
+        idxs = jnp.where(at_s, idx_m, jnp.where(at_m, idx_s, idxs))
+        return vals, idxs
+
+    vals, idxs = lax.fori_loop(0, min(k, n), body, (vals0, idxs0))
+    return idxs, vals
+
+
+def select_top_k(k: int, dist: Array) -> tuple[Array, Array]:
+    """SelectionSort wrapper parity (tf_ops/tf_grouping.py:31-43): returns
+    FULL sorted-prefix rows (idx, dist) like the reference; callers slice
+    [..., :k] (tf_grouping.py:86-87). For just the k smallest without the
+    full-row tail, ``lax.top_k(-dist, k)`` is the fast path (knn_xla)."""
+    return selection_sort(dist, k)
 
 
 # ---------------------------------------------------------------------------

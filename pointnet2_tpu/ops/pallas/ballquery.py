@@ -246,18 +246,21 @@ def ball_query_pallas(
     m = xyz2.shape[1]
     npad = _round_up(n, _LANES)
     tm = min(_LANES, m)
-    assert m % tm == 0, f"query count {m} not divisible by tile {tm}"
 
     x1 = jnp.transpose(xyz1.astype(jnp.float32), (0, 2, 1))
     if npad != n:
         # Pad with +inf so padded columns are never in-ball (also guarded by col<n).
         x1 = jnp.pad(x1, ((0, 0), (0, 0), (0, npad - n)), constant_values=1e30)
     x2 = xyz2.astype(jnp.float32)
+    mpad = _round_up(m, tm)
+    if mpad != m:
+        # Pad queries far away (empty balls); rows sliced off below.
+        x2 = jnp.pad(x2, ((0, 0), (0, mpad - m), (0, 0)), constant_values=1e30)
 
     kernel = functools.partial(
         _ball_query_kernel, n=n, radius=float(radius), nsample=nsample
     )
-    grid = (b, m // tm)
+    grid = (b, mpad // tm)
     idx, cnt = pl.pallas_call(
         kernel,
         grid=grid,
@@ -273,14 +276,14 @@ def ball_query_pallas(
             pl.BlockSpec((1, 1, tm), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, m, nsample), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
+            jax.ShapeDtypeStruct((b, mpad, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, mpad), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((tm, _round_up(nsample, _LANES)), jnp.int32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * m * npad * 3 + b * m * npad * (nsample + 6),
-            bytes_accessed=b * npad * 12 + b * m * 12 + b * m * nsample * 4,
+            flops=2 * b * mpad * npad * 3 + b * mpad * npad * (nsample + 6),
+            bytes_accessed=b * npad * 12 + b * mpad * 12 + b * mpad * nsample * 4,
             transcendentals=0,
         ),
     )(x1, x2)
-    return idx, cnt[:, 0, :]
+    return idx[:, :m], cnt[:, 0, :m]

@@ -130,6 +130,28 @@ def knn_np(xyz1: np.ndarray, xyz2: np.ndarray, k: int) -> tuple[np.ndarray, np.n
     return dist2.astype(np.float32), order.astype(np.int32)
 
 
+def selection_sort_np(dist: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact SelectionSort semantics (tf_grouping.cu:93-136).
+
+    Returns FULL (B, M, N) (idx, dist_out) rows: first k positions sorted
+    ascending (strict-< selection, ties keep first occurrence), remaining
+    positions left in the partially-permuted order of the in-place swaps.
+    """
+    b, m, n = dist.shape
+    out = dist.astype(np.float32).copy()
+    outi = np.broadcast_to(np.arange(n, dtype=np.int32), (b, m, n)).copy()
+    for bi in range(b):
+        for j in range(m):
+            row = out[bi, j]
+            rowi = outi[bi, j]
+            for s in range(min(k, n)):
+                mn = s + int(np.argmin(row[s:]))
+                if mn != s:
+                    row[s], row[mn] = row[mn], row[s]
+                    rowi[s], rowi[mn] = rowi[mn], rowi[s]
+    return outi, out
+
+
 def three_nn_np(xyz1: np.ndarray, xyz2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """3 nearest neighbors; returns SQUARED distances (like Open3D KDTree)."""
     return knn_np(xyz2, xyz1, 3)

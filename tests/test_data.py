@@ -217,3 +217,55 @@ class TestAugment:
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+class TestForeignPcd:
+    """Foreign ascii .pcd flavors: denormal packed-rgb bits, split r/g/b."""
+
+    def test_ascii_packed_rgb_denormal_bits_exact(self, tmp_path):
+        from pointnet2_tpu.data.io import read_pcd, write_pcd
+
+        # any color with r=0 packs to a float32 DENORMAL bit pattern; the old
+        # float64-text round trip could corrupt these
+        pts = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]])
+        colors = np.array([[0, 12, 34], [0, 0, 1], [255, 254, 253]]) / 255.0
+        path = tmp_path / "denorm.pcd"
+        write_pcd(path, pts, colors, binary=False)
+        cloud = read_pcd(path)
+        got = np.round(cloud.colors * 255).astype(int)
+        np.testing.assert_array_equal(got, np.round(colors * 255).astype(int))
+
+    def test_ascii_split_rgb_uint8_fields(self, tmp_path):
+        from pointnet2_tpu.data.io import read_pcd
+
+        path = tmp_path / "split.pcd"
+        body = "\n".join(
+            f"{i * 1.5} {i * 2.5} {i * 3.5} {10 + i} {20 + i} {30 + i}"
+            for i in range(4)
+        )
+        path.write_text(
+            "VERSION 0.7\nFIELDS x y z r g b\nSIZE 4 4 4 1 1 1\n"
+            "TYPE F F F U U U\nCOUNT 1 1 1 1 1 1\nWIDTH 4\nHEIGHT 1\n"
+            "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 4\nDATA ascii\n" + body + "\n"
+        )
+        cloud = read_pcd(path)
+        assert cloud.points.shape == (4, 3)
+        np.testing.assert_allclose(cloud.points[1], [1.5, 2.5, 3.5])
+        got = np.round(cloud.colors * 255).astype(int)
+        np.testing.assert_array_equal(got[0], [10, 20, 30])
+        np.testing.assert_array_equal(got[3], [13, 23, 33])
+
+    def test_ascii_uint32_packed_rgb(self, tmp_path):
+        from pointnet2_tpu.data.io import read_pcd
+
+        packed = (7 << 16) | (8 << 8) | 9
+        path = tmp_path / "u32.pcd"
+        path.write_text(
+            "VERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 4\n"
+            "TYPE F F F U\nCOUNT 1 1 1 1\nWIDTH 1\nHEIGHT 1\n"
+            "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 1\nDATA ascii\n"
+            f"1 2 3 {packed}\n"
+        )
+        cloud = read_pcd(path)
+        got = np.round(cloud.colors * 255).astype(int)
+        np.testing.assert_array_equal(got[0], [7, 8, 9])

@@ -194,3 +194,45 @@ class TestProbSample:
         frac1 = (s == 1).mean()
         assert 0.65 < frac1 < 0.75
         assert ((s == 1) | (s == 3)).all()
+
+
+class TestSelectionSort:
+    """Full-row SelectionSort parity (tf_grouping.cu:93-136)."""
+
+    def test_matches_numpy_oracle(self, rng):
+        from pointnet2_tpu.ops import selection_sort
+        from pointnet2_tpu.ops.reference import selection_sort_np
+
+        dist = rng.rand(2, 5, 40).astype(np.float32)
+        idx, vals = selection_sort(jnp.asarray(dist), 7)
+        idx_np, vals_np = selection_sort_np(dist, 7)
+        np.testing.assert_array_equal(np.asarray(idx), idx_np)
+        np.testing.assert_array_equal(np.asarray(vals), vals_np)
+
+    def test_full_row_is_permutation_and_prefix_sorted(self, rng):
+        from pointnet2_tpu.ops import select_top_k
+
+        dist = rng.rand(1, 3, 25).astype(np.float32)
+        k = 6
+        idx, vals = select_top_k(k, jnp.asarray(dist))
+        idx, vals = np.asarray(idx), np.asarray(vals)
+        assert idx.shape == dist.shape and vals.shape == dist.shape  # FULL rows
+        for j in range(3):
+            # full row is a permutation of the input
+            assert sorted(idx[0, j].tolist()) == list(range(25))
+            np.testing.assert_allclose(np.sort(vals[0, j]), np.sort(dist[0, j]))
+            # prefix ascending and equal to the true k smallest
+            prefix = vals[0, j, :k]
+            assert (np.diff(prefix) >= 0).all()
+            np.testing.assert_allclose(prefix, np.sort(dist[0, j])[:k])
+            np.testing.assert_allclose(dist[0, j, idx[0, j]], vals[0, j])
+
+    def test_ties_keep_first_occurrence(self):
+        from pointnet2_tpu.ops import selection_sort
+        from pointnet2_tpu.ops.reference import selection_sort_np
+
+        dist = np.array([[[3.0, 1.0, 1.0, 2.0, 1.0]]], np.float32)
+        idx, vals = selection_sort(jnp.asarray(dist), 3)
+        idx_np, vals_np = selection_sort_np(dist, 3)
+        np.testing.assert_array_equal(np.asarray(idx), idx_np)
+        assert idx_np[0, 0, 0] == 1  # first of the tied minima

@@ -101,3 +101,19 @@ def test_ball_query_pallas_empty_ball(rng):
         idx, cnt = ball_query_pallas(xyz1, xyz2, 0.5, 4)
     assert np.asarray(cnt).sum() == 0
     np.testing.assert_array_equal(np.asarray(idx), 0)
+
+
+@pytest.mark.parametrize(
+    "b,n,m,radius,nsample",
+    [(1, 128, 100, 0.4, 8), (2, 96, 37, 0.6, 4), (1, 300, 129, 0.5, 8)],
+)
+def test_ball_query_pallas_nonmultiple_queries(rng, b, n, m, radius, nsample):
+    """Query counts not divisible by the 128 tile must pad, not crash."""
+    xyz1 = _cloud(rng, b, n, scale=1.0)
+    xyz2 = _cloud(rng, b, m, scale=1.0)
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_cnt = ball_query_pallas(xyz1, xyz2, radius, nsample)
+    want_idx, want_cnt = reference.ball_query_np(xyz1, xyz2, radius, nsample)
+    assert got_idx.shape == (b, m, nsample) and got_cnt.shape == (b, m)
+    np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
