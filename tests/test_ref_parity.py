@@ -204,3 +204,35 @@ def test_train_mode_bn_stats_match_reference(ref):
 
     # restore the session's moving stats so fixture reuse stays deterministic
     m.restore(ref["ckpt"])
+
+
+def test_convert_checkpoint_cli(ref, tmp_path, monkeypatch):
+    """tools/convert_checkpoint.py: TF ckpt -> orbax checkpoint end to end."""
+    import importlib
+
+    cfg_path = tmp_path / "cfg.json"
+    _config().to_json(cfg_path)
+    out = tmp_path / "converted"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "convert_checkpoint.py",
+            "--tf_ckpt", ref["ckpt"],
+            "--out", str(out),
+            "--config_file", str(cfg_path),
+        ],
+    )
+    cli = importlib.import_module("convert_checkpoint")
+    cli.main()
+    assert out.is_dir()
+
+    # restored checkpoint reproduces reference logits
+    from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
+
+    trainer = Trainer(cfg=_config())
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    state = restore_checkpoint(str(out), state)
+    logits = np.asarray(trainer.predict_step(state, ref["points"]))
+    ref_labels = ref["model"].run_logits(ref["points"]).argmax(-1)
+    assert (logits == ref_labels).mean() == 1.0
