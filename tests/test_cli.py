@@ -134,3 +134,39 @@ class TestConfigCLI:
         p.write_text('{"num_point": 128, "bogus": 1}')
         with pytest.raises(ValueError, match="bogus"):
             Config.from_json(p)
+
+
+class TestHtmlViewer:
+    def test_write_html_viewer(self, rng, tmp_path):
+        from pointnet2_tpu.utils.html_viewer import write_html_viewer
+
+        pts = rng.rand(5000, 3) * 10
+        cols = rng.rand(5000, 3)
+        out = tmp_path / "cloud.html"
+        write_html_viewer(pts, cols, out, title="test cloud")
+        html = out.read_text()
+        assert html.startswith("<!DOCTYPE html>")
+        assert "test cloud" in html and "5,000 points" in html
+        assert '"n": 5000' in html
+        # embedded data decodes to the right sizes
+        import base64, re
+        b64 = re.search(r'decode\("([A-Za-z0-9+/=]+)", Float32Array\)', html)
+        assert len(base64.b64decode(b64.group(1))) == 5000 * 3 * 4
+
+    def test_visualize_html_flag(self, rng, tmp_path, monkeypatch):
+        import sys
+
+        from pointnet2_tpu.data.io import write_pcd
+
+        pcd = tmp_path / "cloud.pcd"
+        write_pcd(pcd, rng.rand(1000, 3), rng.rand(1000, 3))
+        out_html = tmp_path / "viewer.html"
+        monkeypatch.setattr(
+            sys, "argv",
+            ["visualize.py", "--pcd", str(pcd), "--out",
+             str(tmp_path / "x.png"), "--html", str(out_html)],
+        )
+        import visualize
+
+        visualize.main()
+        assert out_html.is_file() and out_html.stat().st_size > 10_000

@@ -27,9 +27,12 @@ def main() -> int:
 
     rng = np.random.RandomState(0)
     failures = []
+    _log = []
 
     def check(name, ok):
-        print(f"{'PASS' if ok else 'FAIL'}  {name}")
+        line = f"{'PASS' if ok else 'FAIL'}  {name}"
+        print(line)
+        _log.append(line)
         if not ok:
             failures.append(name)
 
@@ -74,7 +77,34 @@ def main() -> int:
     wd2, wi2 = reference.knn_np(s, t, 8)
     check("knn k=8", (np.asarray(idx) == wi2).all())
 
+    # Non-128-multiple query counts (public-op shapes, padded kernel path)
+    for n, m, r in [(300, 100, 0.5), (1000, 37, 1.0), (8192, 129, 0.5)]:
+        xyz1 = (rng.rand(2, n, 3) * [10, 10, 5]).astype(np.float32)
+        xyz2 = (rng.rand(2, m, 3) * [10, 10, 5]).astype(np.float32)
+        wi, wc = reference.ball_query_np(xyz1, xyz2, r, 16)
+        gi, gc = ball_query_pallas(jnp.asarray(xyz1), jnp.asarray(xyz2), r, 16)
+        check(
+            f"ball_query nonmultiple n={n} m={m}",
+            (np.asarray(gi) == wi).all() and (np.asarray(gc) == wc).all(),
+        )
+        wd, wi3 = reference.knn_np(xyz1, xyz2, 5)
+        gd, gi3 = knn_pallas(jnp.asarray(xyz1), jnp.asarray(xyz2), 5)
+        check(f"knn nonmultiple n={n} m={m}", (np.asarray(gi3) == wi3).all())
+
     print(f"\n{len(failures)} failures")
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+        import datetime
+
+        import jax
+
+        with open(out, "w") as f:
+            f.write(
+                f"# Pallas hardware parity — {datetime.date.today()} — "
+                f"{jax.devices()[0]}\n\nAll kernels vs NumPy oracles on real "
+                "hardware (Mosaic lowering, not interpret mode):\n\n```\n"
+            )
+            f.write("\n".join(_log) + f"\n\n{len(failures)} failures\n```\n")
     return 1 if failures else 0
 
 

@@ -25,6 +25,13 @@ def main() -> None:
     parser.add_argument("--out", default=None, help="output PNG (default: <pcd>.png)")
     parser.add_argument("--max_points", type=int, default=200_000)
     parser.add_argument("--stats", action="store_true", help="print stats only")
+    parser.add_argument(
+        "--html",
+        default=None,
+        help="also write a standalone INTERACTIVE viewer (drag to orbit, "
+        "wheel to zoom) to this HTML path — the headless counterpart of the "
+        "reference's Open3D window (visualize.py:9-42)",
+    )
     flags = parser.parse_args()
 
     from pointnet2_tpu.data.io import load_labels, read_pcd
@@ -50,6 +57,14 @@ def main() -> None:
     out = flags.out or flags.pcd + ".png"
     render_cloud_png(pts, colors, out, max_points=flags.max_points)
     print("wrote", out)
+
+    if flags.html:
+        from pointnet2_tpu.utils.html_viewer import write_html_viewer
+
+        write_html_viewer(
+            pts, colors, flags.html, title=os.path.basename(flags.pcd)
+        )
+        print("wrote", flags.html)
 
 
 if __name__ == "__main__":
