@@ -3,33 +3,46 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers in-tree (BASELINE.md); its benchmark.py
-measures batch-64 inference wall-clock at runtime. We use the same workload
-(batch 64 x 8192 points x 6 features, full semantic.json model) and report
-points/sec. ``vs_baseline`` is measured against an estimated reference
-throughput of 0.52M points/s (batch-64 inference in ~1.0 s on the original
-single-GPU TF1 pipeline, whose FP stages bounce through CPU Open3D kernels —
-see SURVEY.md §3.4); the north-star target is >=10x (BASELINE.json).
+Workload: batch 64 x 8192 points x 6 features, full semantic.json model —
+the reference benchmark.py's batch-64 inference measurement.
+
+``vs_baseline`` divides by a MEASURED same-chip denominator:
+BASELINE_MEASURED.json, produced by tools/baseline_measure.py — the same
+forward built the way the reference builds it (plain SA layout, XLA-compiled
+dense-distance ops identical in math to the reference's CUDA kernels, f32
+matmuls). The CUDA/GPU original cannot run here; PERFORMANCE.md carries the
+roofline analysis and MFU. If the file is missing, the estimate used in
+round 1 (0.52M pts/s) is the documented fallback.
+
+Timing: K-slope method (see PERFORMANCE.md) — chained forwards in one jit
+with an epsilon dependency, scalar float() readbacks, distinct input per rep.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-try:
-    import jax.numpy as jnp
-except ImportError:  # pragma: no cover
-    jnp = None
+FALLBACK_REFERENCE_POINTS_PER_SEC = 524_288.0  # round-1 estimate, documented
 
-REFERENCE_POINTS_PER_SEC = 524_288.0  # estimated reference: 64*8192 pts / ~1.0 s
+
+def _baseline_pps() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["value"])
+    except (OSError, KeyError, ValueError):
+        return FALLBACK_REFERENCE_POINTS_PER_SEC
 
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from pointnet2_tpu.config import Config
     from pointnet2_tpu.train.trainer import Trainer
@@ -39,7 +52,7 @@ def main() -> None:
 
     cfg = Config()  # semantic.json defaults: 8192 pts, SSG 1024/256/64/16
     batch_size = 64
-    trainer = Trainer(cfg=cfg)
+    trainer = Trainer(cfg=cfg)  # infer_chunk=8: batch-chunked forward
     state = trainer.init_state(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -47,22 +60,11 @@ def main() -> None:
         rng.randn(batch_size, cfg.num_point, cfg.point_dim), jnp.float32
     )
 
-    # Honest device timing. Hazards on a tunneled TPU, all defeated here:
-    # per-dispatch sync ~26ms -> chain K forwards in one jit via an
-    # epsilon-scaled dependency; block_until_ready can return early on this
-    # backend -> force completion with a scalar float() readback; identical
-    # dispatches can be served from a cache -> distinct input per rep. The
-    # per-forward cost is the K-slope, which cancels the constant readback
-    # and dispatch overhead.
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-
     def chained(k):
         @jax.jit
         def fn(x):
             def body(c, _):
-                logits = trainer.model.apply(
-                    variables, c, train=False, bn_momentum=0.9
-                )
+                logits = trainer._infer_logits(state, c)
                 c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
                 return c, ()
 
@@ -93,7 +95,7 @@ def main() -> None:
                 "metric": "pointnet2_ssg_fwd_points_per_sec",
                 "value": round(points_per_sec, 1),
                 "unit": "points/sec/chip",
-                "vs_baseline": round(points_per_sec / REFERENCE_POINTS_PER_SEC, 3),
+                "vs_baseline": round(points_per_sec / _baseline_pps(), 3),
             }
         )
     )

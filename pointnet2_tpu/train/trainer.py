@@ -72,6 +72,14 @@ class Trainer:
     cfg: Config
     num_classes: int = 9
     ops_impl: Optional[str] = None
+    # Inference forwards run the batch in chunks of this size via lax.map:
+    # the grouped tensors' HBM working set stays at the small-batch size,
+    # which measures ~29% faster at batch 64 and 2.3x at batch 128 than the
+    # monolithic forward (tools/batch_chunk_bench.py, PERFORMANCE.md). Exactly
+    # equivalent math — eval-mode BN uses moving stats, so per-chunk results
+    # are independent. Training is NOT chunked (train-mode BN needs
+    # whole-batch moments).
+    infer_chunk: int = 8
 
     def __post_init__(self):
         self.model = PointNet2SemSeg(
@@ -156,13 +164,26 @@ class Trainer:
         )
         return new_state, metrics
 
+    def _infer_logits(self, state: TrainState, points: jax.Array) -> jax.Array:
+        """Eval-mode forward, batch-chunked for HBM locality (see infer_chunk)."""
+
+        def forward(x):
+            return self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x,
+                train=False,
+                bn_momentum=0.9,
+            )
+
+        b = points.shape[0]
+        chunk = self.infer_chunk
+        if chunk and 0 < chunk < b and b % chunk == 0:
+            xs = points.reshape(b // chunk, chunk, *points.shape[1:])
+            return jax.lax.map(forward, xs).reshape(b, points.shape[1], -1)
+        return forward(points)
+
     def _eval_step(self, state: TrainState, batch: dict):
-        logits = self.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["points"],
-            train=False,
-            bn_momentum=0.9,
-        )
+        logits = self._infer_logits(state, batch["points"])
         loss = weighted_ce_loss(logits, batch["labels"], batch["weights"])
         preds = jnp.argmax(logits, axis=-1)
         return {
@@ -176,12 +197,7 @@ class Trainer:
 
     def _predict_step(self, state: TrainState, points: jax.Array):
         """Inference logits -> argmax labels (predict.py:65-91)."""
-        logits = self.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            points,
-            train=False,
-            bn_momentum=0.9,
-        )
+        logits = self._infer_logits(state, points)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 

@@ -150,3 +150,31 @@ class TestSharding:
         np.testing.assert_array_equal(
             np.asarray(m_sharded["confusion"]), np.asarray(m_single["confusion"])
         )
+
+
+def test_chunked_inference_matches_unchunked(rng):
+    """infer_chunk batches via lax.map must be numerically identical."""
+    from pointnet2_tpu.config import Config
+    from pointnet2_tpu.train.trainer import Trainer
+
+    cfg = Config(num_point=256, batch_size=8,
+                 l1_npoint=64, l2_npoint=32, l3_npoint=16, l4_npoint=8)
+    chunked = Trainer(cfg=cfg, infer_chunk=2)
+    mono = Trainer(cfg=cfg, infer_chunk=0)
+    state = chunked.init_state(jax.random.PRNGKey(0))
+
+    x = rng.randn(8, cfg.num_point, cfg.point_dim).astype(np.float32)
+    a = np.asarray(chunked.predict_step(state, x))
+    b = np.asarray(mono.predict_step(state, x))
+    np.testing.assert_array_equal(a, b)
+
+    la = np.asarray(chunked._infer_logits(state, jnp.asarray(x)))
+    lb = np.asarray(mono._infer_logits(state, jnp.asarray(x)))
+    np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-6)
+
+    # non-divisible batch falls back to the monolithic forward
+    x5 = rng.randn(5, cfg.num_point, cfg.point_dim).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(chunked.predict_step(state, x5)),
+        np.asarray(mono.predict_step(state, x5)),
+    )
