@@ -50,7 +50,6 @@ def main() -> None:
     from jax import lax
 
     rng = np.random.RandomState(0)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     def data(batch):
         return jnp.asarray(
@@ -64,9 +63,8 @@ def main() -> None:
             @jax.jit
             def fn(x):
                 def body(c, _):
-                    logits = trainer.model.apply(
-                        variables, c, train=False, bn_momentum=0.9
-                    )
+                    # production inference path (batch-chunked, Trainer.infer_chunk)
+                    logits = trainer._infer_logits(state, c)
                     c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
                     return c, ()
 
