@@ -23,7 +23,7 @@ from pointnet2_tpu.ops.core import (
     prob_sample,
     select_top_k,
     selection_sort,
-    three_interpolate,
+    three_interpolate as three_interpolate_xla,
     three_nn_xla,
 )
 from pointnet2_tpu.ops.pallas import (
@@ -31,6 +31,7 @@ from pointnet2_tpu.ops.pallas import (
     ball_query_windowed,
     farthest_point_sample_pallas,
     knn_pallas,
+    three_interpolate_pallas,
     three_nn_pallas,
 )
 
@@ -94,3 +95,15 @@ def three_nn(xyz1, xyz2, impl: str | None = None):
     if _use_pallas(impl):
         return three_nn_pallas(xyz1, xyz2)
     return three_nn_xla(xyz1, xyz2)
+
+
+def three_interpolate(points, idx, weight, impl: str | None = None):
+    """Inverse-distance 3-point blend (tf_ops/tf_interpolate.cpp:305-330).
+
+    TPU default runs as a sparse-weight MXU matmul (the (N, 3, C) gathered
+    intermediate never materializes; ~1e-7 rel vs the gather formulation);
+    impl="xla" keeps the exact gather + weighted-sum path.
+    """
+    if _use_pallas(impl):
+        return three_interpolate_pallas(points, idx, weight)
+    return three_interpolate_xla(points, idx, weight)

@@ -7,6 +7,7 @@ oracles in ``pointnet2_tpu.ops.reference``).
 
 from pointnet2_tpu.ops.pallas.fps import farthest_point_sample_pallas
 from pointnet2_tpu.ops.pallas.ballquery import ball_query_pallas, ball_query_windowed
+from pointnet2_tpu.ops.pallas.interpolate import three_interpolate_pallas
 from pointnet2_tpu.ops.pallas.knn import knn_pallas, three_nn_pallas
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "ball_query_windowed",
     "knn_pallas",
     "three_nn_pallas",
+    "three_interpolate_pallas",
 ]

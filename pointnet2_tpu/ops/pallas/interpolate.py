@@ -1,0 +1,138 @@
+"""three_interpolate as a sparse-weight MXU matmul.
+
+The reference's ThreeInterpolate (tf_ops/tf_interpolate.cpp:305-330) gathers
+3 feature rows per query and blends them with inverse-distance weights. On
+TPU the gather is addressing-bound (no vectorized dynamic row gather in
+Mosaic) — but the whole op is algebraically one matmul per batch element:
+
+    out = W @ points,   W (N, M) sparse with 3 nonzeros per row:
+    W[q, idx[q, j]] = weight[q, j]
+
+This kernel builds the W tile on the fly from (idx, weight) with three
+compare-selects and runs the matmul on the MXU — the (N, 3, C) gathered
+intermediate never exists. At the FP4 flagship shape (8192 queries x 1024
+points x 128 ch x batch 64) this replaces ~10 ms of gather/blend with ~2-4
+ms of MXU work.
+
+Precision: "highest" (default) uses the MXU's f32 path (~1e-7 rel);
+"default" uses bf16 inputs like any default-precision matmul.
+
+Gradient (custom_vjp): d points = scatter-add of weight x g (exactly the
+reference's ThreeInterpolateGrad, tf_interpolate.cpp:395-421); d weight =
+per-query dot of g with the gathered rows (discarded by the model — the FP
+module stop_gradients the distances — but computed for API completeness).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ti_kernel(idx_ref, w_ref, pts_ref, out_ref, *, prec: str):
+    # idx/w_ref: (1, 3, TR); pts_ref: (1, Mpad, Cpad); out_ref: (1, TR, Cpad)
+    mpad = pts_ref.shape[1]
+    tr = out_ref.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (tr, mpad), 1)
+    w = jnp.zeros((tr, mpad), jnp.float32)
+    for j in range(3):
+        w = w + jnp.where(
+            col == idx_ref[0, j, :].reshape(tr, 1),
+            w_ref[0, j, :].reshape(tr, 1),
+            0.0,
+        )
+    precision = (
+        lax.Precision.HIGHEST if prec == "highest" else lax.Precision.DEFAULT
+    )
+    out_ref[0] = jnp.dot(
+        w, pts_ref[0], preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _ti_fwd(points, idx, weight, prec: str, tr: int):
+    b, m, c = points.shape
+    n = idx.shape[1]
+    mpad = _round_up(m, _LANES)
+    cpad = _round_up(c, _LANES)
+    tr = min(tr, _round_up(n, _LANES))
+    npad = _round_up(n, tr)
+
+    pts = points.astype(jnp.float32)
+    if mpad != m or cpad != c:
+        pts = jnp.pad(pts, ((0, 0), (0, mpad - m), (0, cpad - c)))
+    idx_t = jnp.transpose(idx.astype(jnp.int32), (0, 2, 1))  # (B, 3, N)
+    w_t = jnp.transpose(weight.astype(jnp.float32), (0, 2, 1))
+    if npad != n:
+        idx_t = jnp.pad(idx_t, ((0, 0), (0, 0), (0, npad - n)))
+        w_t = jnp.pad(w_t, ((0, 0), (0, 0), (0, npad - n)))
+
+    kernel = functools.partial(_ti_kernel, prec=prec)
+    mxu_factor = 6 if prec == "highest" else 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, npad // tr),
+        in_specs=[
+            pl.BlockSpec((1, 3, tr), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tr), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, mpad, cpad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tr, cpad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, npad, cpad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=mxu_factor * 2 * b * npad * mpad * cpad + 9 * b * npad * mpad,
+            bytes_accessed=b * (mpad * cpad * 4 + npad * 24 + npad * cpad * 4),
+            transcendentals=0,
+        ),
+    )(idx_t, w_t, pts)
+    out = out[:, :n, :c]
+    return out.astype(points.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def three_interpolate_pallas(
+    points, idx, weight, prec: str = "highest", tr: int = 256
+):
+    """points (B, M, C), idx/weight (B, N, 3) -> (B, N, C). MXU sparse matmul."""
+    return _ti_fwd(points, idx, weight, prec, tr)
+
+
+def _vjp_fwd(points, idx, weight, prec, tr):
+    return _ti_fwd(points, idx, weight, prec, tr), (points, idx, weight)
+
+
+def _vjp_bwd(prec, tr, res, g):
+    points, idx, weight = res
+    b, m, c = points.shape
+    g = g.astype(jnp.float32)
+    bidx = jnp.arange(b)[:, None, None]
+    contrib = weight[..., None].astype(jnp.float32) * g[:, :, None, :]
+    dpoints = (
+        jnp.zeros((b, m, c), jnp.float32).at[bidx, idx].add(contrib)
+    ).astype(points.dtype)
+    # d weight: per-(query, j) dot of g with the gathered row. The in-tree
+    # caller stop_gradients the distances, so this is usually discarded.
+    flat = idx.reshape(b, -1)
+    gathered = jnp.take_along_axis(points, flat[..., None], axis=1).reshape(
+        b, idx.shape[1], 3, c
+    )
+    dweight = jnp.sum(gathered.astype(jnp.float32) * g[:, :, None, :], axis=-1)
+    return dpoints, None, dweight.astype(weight.dtype)
+
+
+three_interpolate_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -117,3 +117,49 @@ def test_ball_query_pallas_nonmultiple_queries(rng, b, n, m, radius, nsample):
     assert got_idx.shape == (b, m, nsample) and got_cnt.shape == (b, m)
     np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
     np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+
+
+class TestThreeInterpolatePallas:
+    """Sparse-weight MXU matmul formulation vs the gather oracle."""
+
+    @pytest.mark.parametrize("b,m,n,c", [(2, 64, 256, 128), (1, 16, 128, 512),
+                                         (2, 100, 130, 96)])
+    def test_forward_matches_oracle(self, rng, b, m, n, c):
+        from pointnet2_tpu.ops.pallas import three_interpolate_pallas
+
+        points = rng.randn(b, m, c).astype(np.float32)
+        xyz1 = _cloud(rng, b, n)
+        xyz2 = _cloud(rng, b, m)
+        d2, idx = reference.three_nn_np(xyz1, xyz2)
+        weight = reference.interpolation_weights_np(d2).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(three_interpolate_pallas(points, idx, weight))
+        want = reference.three_interpolate_np(points, idx, weight)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_xla_ad(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from pointnet2_tpu.ops.core import three_interpolate as ti_xla
+        from pointnet2_tpu.ops.pallas import three_interpolate_pallas
+
+        b, m, n, c = 2, 32, 128, 128
+        points = rng.randn(b, m, c).astype(np.float32)
+        idx = rng.randint(0, m, size=(b, n, 3)).astype(np.int32)
+        weight = rng.rand(b, n, 3).astype(np.float32)
+        cot = rng.randn(b, n, c).astype(np.float32)
+
+        def f_ref(p, w):
+            return jnp.sum(ti_xla(p, idx, w) * cot)
+
+        def f_pal(p, w):
+            with pltpu.force_tpu_interpret_mode():
+                return jnp.sum(three_interpolate_pallas(p, idx, w) * cot)
+
+        gp_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(points, weight)
+        gp_pal, gw_pal = jax.grad(f_pal, argnums=(0, 1))(points, weight)
+        np.testing.assert_allclose(np.asarray(gp_pal), np.asarray(gp_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_pal), np.asarray(gw_ref),
+                                   rtol=1e-4, atol=1e-3)

@@ -77,6 +77,21 @@ def main() -> int:
     wd2, wi2 = reference.knn_np(s, t, 8)
     check("knn k=8", (np.asarray(idx) == wi2).all())
 
+    # three_interpolate sparse-matmul kernel at every FP shape (tolerance:
+    # the MXU f32 path is ~1e-7 rel vs the exact gather formulation)
+    from pointnet2_tpu.ops.pallas import three_interpolate_pallas
+
+    for n, m, c in [(8192, 1024, 128), (1024, 256, 256), (256, 64, 256), (64, 16, 512)]:
+        pts = rng.randn(8, m, c).astype(np.float32)
+        t2 = (rng.rand(8, n, 3) * 10).astype(np.float32)
+        s2 = (rng.rand(8, m, 3) * 10).astype(np.float32)
+        wd, wi = reference.three_nn_np(t2, s2)
+        ww = reference.interpolation_weights_np(wd).astype(np.float32)
+        got = np.asarray(three_interpolate_pallas(jnp.asarray(pts), wi, ww))
+        want = reference.three_interpolate_np(pts, wi, ww)
+        rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+        check(f"three_interpolate n={n} m={m} c={c} (rel {rel:.1e})", rel < 1e-5)
+
     # Non-128-multiple query counts (public-op shapes, padded kernel path)
     for n, m, r in [(300, 100, 0.5), (1000, 37, 1.0), (8192, 129, 0.5)]:
         xyz1 = (rng.rand(2, n, 3) * [10, 10, 5]).astype(np.float32)
