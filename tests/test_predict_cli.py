@@ -1,0 +1,98 @@
+"""End-to-end predict.py + interpolate.py CLI tests on synthetic scenes.
+
+Covers the two inference drivers the reference anchors on
+(/root/reference/predict.py:108-205, /root/reference/interpolate.py:47-127):
+multi-sample sparse inference with padded final batches, sparse artifact
+writing, KNN densification, and the per-scene/global confusion matrices.
+"""
+
+import sys
+
+import jax
+import numpy as np
+
+from pointnet2_tpu.config import Config
+from pointnet2_tpu.data.io import load_labels, read_pcd, write_labels, write_pcd
+from pointnet2_tpu.data.semantic3d import validation_file_prefixes
+from pointnet2_tpu.train.trainer import Trainer, save_checkpoint
+
+
+def _fabricate_validation_scenes(data_dir, rng, n=20_000):
+    for prefix in validation_file_prefixes:
+        pts = rng.rand(n, 3) * [20.0, 20.0, 4.0]
+        labels = np.where(pts[:, 2] < 2.0, 1, 5).astype(np.int32)
+        colors = rng.rand(n, 3)
+        write_pcd(str(data_dir / f"{prefix}.pcd"), pts, colors)
+        write_labels(str(data_dir / f"{prefix}.labels"), labels)
+
+
+def test_predict_then_interpolate_cli(rng, tmp_path, monkeypatch):
+    data_dir = tmp_path / "scenes"
+    data_dir.mkdir()
+    _fabricate_validation_scenes(data_dir, rng)
+
+    cfg = Config(
+        num_point=512,
+        batch_size=2,
+        data_path=str(data_dir),
+        l1_npoint=128,
+        l2_npoint=64,
+        l3_npoint=16,
+        l4_npoint=8,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.to_json(cfg_path)
+
+    trainer = Trainer(cfg=cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state)
+
+    sparse_dir = tmp_path / "sparse"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "predict.py",
+            "--ckpt", str(ckpt),
+            "--set", "validation",
+            "--config_file", str(cfg_path),
+            "--num_samples", "3",   # NOT divisible by batch -> padded last batch
+            "--batch_size", "2",
+            "--output_dir", str(sparse_dir),
+        ],
+    )
+    import predict
+
+    predict.main()
+
+    for prefix in validation_file_prefixes:
+        pcd = read_pcd(sparse_dir / f"{prefix}.pcd")
+        labels = load_labels(sparse_dir / f"{prefix}.labels")
+        assert len(pcd) == 3 * cfg.num_point  # num_samples * num_point
+        assert len(labels) == len(pcd)
+        assert labels.min() >= 0 and labels.max() < 9
+
+    dense_dir = tmp_path / "dense"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "interpolate.py",
+            "--set", "validation",
+            "--sparse_dir", str(sparse_dir),
+            "--dense_dir", str(dense_dir),
+            "--gt_dir", str(data_dir),
+            "--knn", "3",
+        ],
+    )
+    import interpolate
+
+    interpolate.main()
+
+    for prefix in validation_file_prefixes:
+        dense_labels = load_labels(dense_dir / f"{prefix}.labels")
+        gt = load_labels(data_dir / f"{prefix}.labels")
+        assert len(dense_labels) == len(gt)  # one label per dense point
+        colored = read_pcd(dense_dir / f"{prefix}_colored.pcd")
+        assert len(colored) == len(gt) and colored.colors is not None
