@@ -55,38 +55,15 @@ def main() -> None:
     trainer = Trainer(cfg=cfg)  # infer_chunk=8: batch-chunked forward
     state = trainer.init_state(jax.random.PRNGKey(0))
 
+    from pointnet2_tpu.utils.bench import slope_time
+
     rng = np.random.RandomState(0)
     x = jnp.asarray(
         rng.randn(batch_size, cfg.num_point, cfg.point_dim), jnp.float32
     )
-
-    def chained(k):
-        @jax.jit
-        def fn(x):
-            def body(c, _):
-                logits = trainer._infer_logits(state, c)
-                c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
-                return c, ()
-
-            c, _ = jax.lax.scan(body, x, None, length=k)
-            return c.sum()
-
-        return fn
-
-    K0, K1 = 2, 12
-    loop0, loop1 = chained(K0), chained(K1)
-    float(loop0(x))
-    float(loop1(x))  # compile + warm
-    t0s, t1s = [], []
-    for i in range(3):
-        xi = x + jnp.float32(i + 1) * 1e-7
-        s = time.time()
-        float(loop0(xi))
-        t0s.append(time.time() - s)
-        s = time.time()
-        float(loop1(xi))
-        t1s.append(time.time() - s)
-    batch_time = (float(np.median(t1s)) - float(np.median(t0s))) / (K1 - K0)
+    batch_time = slope_time(
+        lambda c: trainer._infer_logits(state, c), x, K0=2, K1=12
+    )
     points_per_sec = batch_size * cfg.num_point / batch_time
 
     print(

@@ -47,7 +47,8 @@ def main() -> None:
         state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
 
     import jax.numpy as jnp
-    from jax import lax
+
+    from pointnet2_tpu.utils.bench import slope_time
 
     rng = np.random.RandomState(0)
 
@@ -56,36 +57,11 @@ def main() -> None:
             rng.randn(batch, cfg.num_point, cfg.point_dim), jnp.float32
         )
 
-    def timed_forward(x, K0=2, K1=8, reps=3):
-        """K-slope timing with float() readbacks (see PERFORMANCE.md)."""
-
-        def chained(k):
-            @jax.jit
-            def fn(x):
-                def body(c, _):
-                    # production inference path (batch-chunked, Trainer.infer_chunk)
-                    logits = trainer._infer_logits(state, c)
-                    c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
-                    return c, ()
-
-                c, _ = lax.scan(body, x, None, length=k)
-                return c.sum()
-
-            return fn
-
-        l0, l1 = chained(K0), chained(K1)
-        float(l0(x))
-        float(l1(x))
-        t0s, t1s = [], []
-        for i in range(reps):
-            xi = x + jnp.float32(i + 1) * 1e-7
-            s = time.time()
-            float(l0(xi))
-            t0s.append(time.time() - s)
-            s = time.time()
-            float(l1(xi))
-            t1s.append(time.time() - s)
-        return (float(np.median(t1s)) - float(np.median(t0s))) / (K1 - K0)
+    def timed_forward(x, K0=2, K1=8):
+        """K-slope timing of the production (chunked) inference forward."""
+        return slope_time(
+            lambda c: trainer._infer_logits(state, c), x, K0=K0, K1=K1
+        )
 
     # Profile trace at batch 64 (reference benchmark.py:17-54).
     batch_size = 64

@@ -41,9 +41,6 @@ import re
 
 import numpy as np
 
-SA_MLPS = ([32, 32, 64], [64, 64, 128], [128, 128, 256], [256, 256, 512])
-FP_MLPS = ([256, 256], [256, 256], [256, 128], [128, 128, 128])
-
 
 def read_tf_checkpoint(path: str) -> dict[str, np.ndarray]:
     """Load {variable_name: array} from a TF V2 checkpoint or an .npz export."""

@@ -16,6 +16,7 @@ pykitti derives from them — see KittiRawDrive.
 
 from __future__ import annotations
 
+import functools
 import glob
 import os
 from typing import Iterable, Optional
@@ -115,18 +116,25 @@ def _rotation_from_rpy(roll: float, pitch: float, yaw: float) -> np.ndarray:
 def oxts_to_pose(packets: np.ndarray) -> np.ndarray:
     """(N, 30) OXTS packets -> (N, 4, 4) T_w_imu poses.
 
-    Mercator projection at the first frame's latitude scale, like the KITTI
-    raw devkit / pykitti: x = s*R*lon*pi/180, y = s*R*log(tan(pi/4+lat*pi/360)).
+    Mercator projection at the first frame's latitude scale, with the first
+    frame's translation subtracted so the drive starts at the origin — the
+    KITTI raw devkit / pykitti convention (absolute Mercator coordinates are
+    ~1e6-1e7 m and would quantize float32 point clouds by decimeters):
+    x = s*R*lon*pi/180, y = s*R*log(tan(pi/4 + lat*pi/360)), z = alt.
     """
     lat0 = packets[0, 0]
     scale = np.cos(lat0 * np.pi / 180.0)
     poses = np.zeros((len(packets), 4, 4), np.float64)
+    t0 = None
     for i, p in enumerate(packets):
         lat, lon, alt, roll, pitch, yaw = p[:6]
         x = scale * EARTH_RADIUS * lon * np.pi / 180.0
         y = scale * EARTH_RADIUS * np.log(np.tan(np.pi / 4.0 + lat * np.pi / 360.0))
+        t = np.array((x, y, alt))
+        if t0 is None:
+            t0 = t
         poses[i, :3, :3] = _rotation_from_rpy(roll, pitch, yaw)
-        poses[i, :3, 3] = (x, y, alt)
+        poses[i, :3, 3] = t - t0
         poses[i, 3, 3] = 1.0
     return poses
 
@@ -168,17 +176,17 @@ class KittiRawDrive:
     def get_velo(self, idx: int) -> np.ndarray:
         return load_velodyne_bin(self.velo_files[idx])
 
-    @property
+    @functools.cached_property
     def velo_timestamps(self) -> np.ndarray:
         return load_timestamps(
             os.path.join(self.path, "velodyne_points", "timestamps.txt")
         )
 
-    @property
+    @functools.cached_property
     def oxts(self) -> tuple[np.ndarray, np.ndarray]:
         return load_oxts(self.path)
 
-    @property
+    @functools.cached_property
     def calib(self) -> dict[str, np.ndarray]:
         out: dict[str, np.ndarray] = {}
         for name in (

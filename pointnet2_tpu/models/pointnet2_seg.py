@@ -67,7 +67,9 @@ class PointNet2SemSeg(nn.Module):
         # Feature propagation: coarse -> fine (model.py:90-129).
         for i, mlp in enumerate(FP_MLPS):
             lvl = 3 - i  # target level: 3, 2, 1, 0
-            feats[lvl] = FeaturePropagation(mlp=mlp, name=f"fp{i + 1}")(
+            feats[lvl] = FeaturePropagation(
+                mlp=mlp, ops_impl=self.ops_impl, name=f"fp{i + 1}"
+            )(
                 xyzs[lvl],
                 xyzs[lvl + 1],
                 feats[lvl],

@@ -49,7 +49,7 @@ def sample_and_group(
     fps_idx = ops.farthest_point_sample(xyz, npoint, impl=impl)
     new_xyz = ops.gather_points(xyz, fps_idx)
     if use_knn:
-        _, idx = ops.knn(xyz, new_xyz, nsample)
+        _, idx = ops.knn(xyz, new_xyz, nsample, impl=impl)
     else:
         idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample, impl=impl)
     grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
@@ -181,7 +181,7 @@ class SetAbstraction(nn.Module):
         fps_idx = ops.farthest_point_sample(xyz, self.npoint, impl=self.ops_impl)
         new_xyz = ops.gather_points(xyz, fps_idx)
         if self.use_knn:
-            _, idx = ops.knn(xyz, new_xyz, self.nsample)
+            _, idx = ops.knn(xyz, new_xyz, self.nsample, impl=self.ops_impl)
         else:
             idx, _ = ops.ball_query(
                 xyz, new_xyz, self.radius, self.nsample, impl=self.ops_impl
@@ -264,15 +264,16 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     use_bn: bool = True
+    ops_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, points1, points2, *, train: bool, bn_momentum):
-        dist2, idx = ops.three_nn(xyz1, xyz2)
+        dist2, idx = ops.three_nn(xyz1, xyz2, impl=self.ops_impl)
         # The reference registers NoGradient on ThreeNN; distances are
         # geometry, not parameters — stop the (useless) backward sweep.
         dist2 = lax.stop_gradient(dist2)
         weight = ops.interpolation_weights(dist2)
-        interpolated = ops.three_interpolate(points2, idx, weight)
+        interpolated = ops.three_interpolate(points2, idx, weight, impl=self.ops_impl)
         new_points = (
             jnp.concatenate([interpolated, points1], axis=-1)
             if points1 is not None

@@ -75,10 +75,11 @@ function draw() {
   for (let i = 0; i < n; i++) {
     let x = pts[3 * i] - cx0, y = pts[3 * i + 1] - cy0, z = pts[3 * i + 2] - cz0;
     let rx = cy * x + sy * y, ry = -sy * x + cy * y;          // yaw about z
-    let ry2 = cp * ry - sp * z, rz2 = sp * ry + cp * z;       // pitch
-    const depth = rx + dist;
+    // pitch about the screen-horizontal axis: mixes depth (rx) and z
+    let rx2 = cp * rx + sp * z, rz2 = -sp * rx + cp * z;
+    const depth = rx2 + dist;
     if (depth <= 0.05 * META.radius) continue;
-    const sxp = (ry2 / depth) * f + w / 2 + panX;
+    const sxp = (ry / depth) * f + w / 2 + panX;
     const syp = (-rz2 / depth) * f + h / 2 + panY;
     const px = sxp | 0, py = syp | 0;
     if (px < 0 || px >= w || py < 0 || py >= h) continue;
@@ -107,7 +108,7 @@ def write_html_viewer(
     pts = np.asarray(points, np.float64)
     if colors is None:
         z = pts[:, 2]
-        t = (z - z.min()) / max(z.ptp(), 1e-9)
+        t = (z - z.min()) / max(np.ptp(z), 1e-9)
         colors = np.stack([t, 0.4 + 0.2 * t, 1.0 - t], axis=1)
     cols = np.asarray(colors, np.float64)
     if len(pts) > max_points:

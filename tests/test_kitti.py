@@ -118,6 +118,8 @@ class TestKittiRaw:
         packets, poses = drive.oxts
         assert packets.shape == (3, 30)
         assert poses.shape == (3, 4, 4)
+        # pykitti/devkit convention: first frame at the origin
+        np.testing.assert_allclose(poses[0, :3, 3], 0.0, atol=1e-9)
         # rotation blocks are orthonormal
         for p in poses:
             r = p[:3, :3]

@@ -34,27 +34,11 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from pointnet2_tpu.config import Config
 from pointnet2_tpu.models.pointnet2_seg import PointNet2SemSeg
 from pointnet2_tpu.train.trainer import Trainer
-
-
-def slope_time(make_loop, x, K0=2, K1=8, reps=3):
-    l0, l1 = make_loop(K0), make_loop(K1)
-    float(l0(x))
-    float(l1(x))
-    t0s, t1s = [], []
-    for i in range(reps):
-        xi = x + jnp.float32(i + 1) * 1e-7
-        s = time.time()
-        float(l0(xi))
-        t0s.append(time.time() - s)
-        s = time.time()
-        float(l1(xi))
-        t1s.append(time.time() - s)
-    return (float(np.median(t1s)) - float(np.median(t0s))) / (K1 - K0)
+from pointnet2_tpu.utils.bench import slope_time
 
 
 def main():
@@ -86,23 +70,13 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, cfg.num_point, cfg.point_dim), jnp.float32)
 
-    def make_loop(k):
-        @jax.jit
-        def loop(x):
-            def body(c, _):
-                with jax.default_matmul_precision("highest"):  # f32 like TF1
-                    logits = ref_model.apply(plain_vars, c, train=False)
-                c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
-                return c, ()
-
-            c, _ = lax.scan(body, x, None, length=k)
-            return c.sum()
-
-        return loop
+    def ref_step(c):
+        with jax.default_matmul_precision("highest"):  # f32 like TF1
+            return ref_model.apply(plain_vars, c, train=False)
 
     print("compiling + timing the XLA reference-equivalent chain "
           "(several minutes)...", flush=True)
-    t = slope_time(make_loop, x)
+    t = slope_time(ref_step, x, K0=2, K1=8)
     pps = args.batch * cfg.num_point / t
 
     # model FLOPs for MFU (single forward, production model)

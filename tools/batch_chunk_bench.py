@@ -24,22 +24,7 @@ from jax import lax
 
 from pointnet2_tpu.config import Config
 from pointnet2_tpu.train.trainer import Trainer
-
-
-def slope_time(fn_k, x, K0=2, K1=10, reps=3):
-    l0, l1 = fn_k(K0), fn_k(K1)
-    float(l0(x))
-    float(l1(x))
-    t0s, t1s = [], []
-    for i in range(reps):
-        xi = x + jnp.float32(i + 1) * 1e-7
-        s = time.time()
-        float(l0(xi))
-        t0s.append(time.time() - s)
-        s = time.time()
-        float(l1(xi))
-        t1s.append(time.time() - s)
-    return (float(np.median(t1s)) - float(np.median(t0s))) / (K1 - K0)
+from pointnet2_tpu.utils.bench import slope_time
 
 
 def main():
@@ -59,25 +44,14 @@ def main():
     def forward(c):
         return trainer.model.apply(variables, c, train=False, bn_momentum=0.9)
 
-    def make_fn(batch, chunk):
-        def fn_k(k):
-            @jax.jit
-            def loop(x):
-                def body(c, _):
-                    if chunk and chunk < batch:
-                        xs = c.reshape(batch // chunk, chunk, cfg.num_point, -1)
-                        logits = lax.map(forward, xs)
-                    else:
-                        logits = forward(c)
-                    c = c + logits.sum().astype(jnp.float32) * jnp.float32(1e-38)
-                    return c, ()
+    def make_step(batch, chunk):
+        def step(c):
+            if chunk and chunk < batch:
+                xs = c.reshape(batch // chunk, chunk, cfg.num_point, -1)
+                return lax.map(forward, xs)
+            return forward(c)
 
-                c, _ = lax.scan(body, x, None, length=k)
-                return c.sum()
-
-            return loop
-
-        return fn_k
+        return step
 
     rows = []
     for batch in [args.batch] + list(args.extra_batches):
@@ -87,7 +61,7 @@ def main():
         for chunk in args.chunks:
             if chunk > batch:
                 continue
-            t = slope_time(make_fn(batch, chunk), x)
+            t = slope_time(make_step(batch, chunk), x)
             pps = batch * cfg.num_point / t
             rows.append((batch, chunk, t, pps))
             print(

@@ -144,12 +144,13 @@ def main():
     brng = np.random.RandomState(3)
     drng = jax.random.PRNGKey(1)
     t = time.time()
-    first = last = None
+    first = last = float("nan")
     for i in range(args.steps):
         state, m = trainer.train_step(state, make_batch(brng), drng)
         if i == 0:
             first = float(m["loss"])
-    last = float(m["loss"])
+        if i == args.steps - 1:
+            last = float(m["loss"])
     print(f"[train] {args.steps} steps: loss {first:.3f} -> {last:.3f} "
           f"({time.time() - t:.1f}s incl. compile)")
 
