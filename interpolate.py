@@ -29,7 +29,10 @@ def main() -> None:
     parser.add_argument("--gt_dir", default="dataset/semantic_raw")
     parser.add_argument("--knn", type=int, default=3)
     parser.add_argument(
-        "--engine", default="auto", choices=["auto", "native", "scipy", "device"]
+        "--engine",
+        default="auto",
+        choices=["auto", "native", "scipy", "device", "sharded"],
+        help="sharded = dense cloud point-sharded over every visible device",
     )
     flags = parser.parse_args()
 

@@ -73,6 +73,15 @@ def densify_labels(
         )
         return labels, LABEL_COLORS_UINT8[labels]
 
+    if engine == "sharded":
+        # point-sharded over every visible device (parallel/sharded_ops.py)
+        from pointnet2_tpu.parallel import create_mesh, densify_labels_sharded
+
+        labels = densify_labels_sharded(
+            sparse_points, sparse_labels, dense_points, knn, mesh=create_mesh()
+        )
+        return labels, LABEL_COLORS_UINT8[labels]
+
     # scipy fallback
     from scipy.spatial import cKDTree
 
@@ -148,7 +157,8 @@ def _densify_device_jit(sparse_points, sparse_labels, dense_points, knn, chunk, 
 def _densify_device(sparse_points, sparse_labels, dense_points, knn, chunk=4096, sparse_tile=8192):
     import jax.numpy as jnp
 
-    sparse_tile = int(min(sparse_tile, max(128, len(sparse_points))))
+    # tile must not exceed the sparse count (dynamic_slice bounds)
+    sparse_tile = int(max(1, min(sparse_tile, len(sparse_points))))
     chunk = int(min(chunk, max(128, len(dense_points))))
     return _densify_device_jit(
         jnp.asarray(sparse_points),

@@ -69,3 +69,27 @@ def test_label_to_colors():
     )
     with pytest.raises(ValueError):
         label_to_colors(np.array([9]))
+
+
+def test_device_engine_tiny_sparse_set(rng):
+    """sparse count below the 128 tile must not break dynamic_slice bounds."""
+    from pointnet2_tpu.ops.densify import densify_labels
+
+    sparse = rng.rand(7, 3).astype(np.float32)
+    labels = np.arange(1, 8, dtype=np.int32)
+    dense = rng.rand(300, 3).astype(np.float32)
+    got, _ = densify_labels(sparse, labels, dense, knn=3, engine="device")
+    want, _ = densify_labels(sparse, labels, dense, knn=3, engine="scipy")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_engine_dispatch(rng):
+    from pointnet2_tpu.ops.densify import densify_labels
+
+    sparse = rng.rand(200, 3).astype(np.float32)
+    labels = rng.randint(0, 9, 200).astype(np.int32)
+    dense = rng.rand(3000, 3).astype(np.float32)
+    got, colors = densify_labels(sparse, labels, dense, knn=3, engine="sharded")
+    want, _ = densify_labels(sparse, labels, dense, knn=3, engine="device")
+    np.testing.assert_array_equal(got, want)
+    assert colors.shape == (3000, 3)
