@@ -156,3 +156,21 @@ class TestKittiRaw:
         poses = oxts_to_pose(packets)
         np.testing.assert_allclose(poses[0, :3, :3], np.eye(3), atol=1e-12)
         np.testing.assert_allclose(poses[0, :3, 3], poses[1, :3, 3])
+
+
+def test_kitti_visualize_cli(rng, tmp_path, monkeypatch):
+    import sys
+
+    root = _write_drive(tmp_path, rng, frames=3, n=2000)
+    out_dir = tmp_path / "frames"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["kitti_visualize.py", "--kitti_root", str(root),
+         "--out_dir", str(out_dir), "--max_frames", "2"],
+    )
+    import kitti_visualize
+
+    kitti_visualize.main()
+    pngs = sorted(out_dir.glob("*.png"))
+    assert len(pngs) == 2
+    assert pngs[0].stat().st_size > 5_000
