@@ -56,9 +56,15 @@ def _ball_query_kernel(
     cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1)  # (TM,)
     cnt_ref[0, 0, :] = jnp.minimum(cnt, nsample)
 
-    # Unrolled first-k extraction: ascending mins of the key row.
+    # Unrolled first-k extraction: ascending mins of the key row. Two-stage
+    # reduction (blockwise vreg mins, then one cross-lane reduce over 128
+    # candidates) — same trick as the kNN kernel, exact semantics.
+    nb = npad // _LANES
     for s in range(nsample):
-        kmin = jnp.min(keys, axis=1, keepdims=True)  # (TM, 1)
+        vals = keys[:, :_LANES]
+        for b in range(1, nb):
+            vals = jnp.minimum(vals, keys[:, b * _LANES : (b + 1) * _LANES])
+        kmin = jnp.min(vals, axis=1, keepdims=True)  # (TM, 1)
         sel_ref[:, s : s + 1] = kmin
         keys = jnp.where(keys == kmin, n, keys)
 
@@ -107,8 +113,12 @@ def _ball_query_window_kernel(
     cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1)
     cnt_ref[0, 0, 0, :] = jnp.minimum(cnt, nsample)
 
+    nb = w // _LANES
     for s in range(nsample):
-        kmin = jnp.min(keys, axis=1, keepdims=True)
+        vals = keys[:, :_LANES]
+        for b in range(1, nb):
+            vals = jnp.minimum(vals, keys[:, b * _LANES : (b + 1) * _LANES])
+        kmin = jnp.min(vals, axis=1, keepdims=True)
         sel_ref[:, s : s + 1] = kmin
         keys = jnp.where(keys == kmin, n, keys)
 

@@ -1,23 +1,23 @@
-"""Pallas TPU kernel for exact k-nearest-neighbors (k small, e.g. three_nn).
+#!/usr/bin/env python3
+"""Probe: two-stage reduction variant of the kNN kernel.
 
-The XLA formulation (ops/core.knn_xla) materializes the (B, Nq, M) distance
-matrix in HBM and runs lax.top_k, which lowers to a full sort per row —
-measured ~170ms for the FP4 shape (B=64, Nq=8192, M=1024) on v5e. This
-kernel instead:
+Hypothesis: the current kernel's full-width argmin+min reductions over
+(TQ, Mpad) dominate (measured ~4.5x above the raw VPU op-count roofline).
+Variant: per extraction pass, (1) elementwise min across the Mpad/128 lane
+blocks (cheap vreg ops, no cross-lane work), (2) one cross-lane min on the
+surviving (TQ, 128) candidates, (3) first-index extraction and masking
+restricted to a single compare+select full-width pass.
 
-- computes the distance tile in VMEM (float32 difference form, bit-faithful
-  to the reference's Open3D KDTree results),
-- extracts the k smallest by k argmin passes (k=3 for feature propagation),
-  each a pure VPU sweep,
-- never touches HBM with the distance matrix.
-
-Ties resolve to the lowest reference index (argmin first-occurrence), same
-as the stable-argsort NumPy oracle.
+Exact semantics preserved: ties resolve to the lowest ORIGINAL index
+because index extraction scans the full row for the global min value.
 """
 
-from __future__ import annotations
-
 import functools
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +25,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pointnet2_tpu.ops import reference
+from pointnet2_tpu.ops.pallas.knn import knn_pallas, _round_up
+from pointnet2_tpu.utils.bench import slope_time
+
 _LANES = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _knn_kernel(ref_ref, q_ref, dist_ref, idx_ref, *, m: int, k: int):
+def _knn_kernel_v2(ref_ref, q_ref, dist_ref, idx_ref, *, m: int, k: int):
     mpad = ref_ref.shape[-1]
     tq = q_ref.shape[1]
     nb = mpad // _LANES
@@ -47,16 +47,13 @@ def _knn_kernel(ref_ref, q_ref, dist_ref, idx_ref, *, m: int, k: int):
     dists = []
     idxs = []
     for _ in range(k):
-        # Two-stage min: (1) elementwise across the Mpad/128 lane blocks
-        # (pure vreg ops, no cross-lane shuffles), (2) one cross-lane reduce
-        # over the 128 surviving candidates. Measured 1.2x over the
-        # argmin+min formulation at the FP4 shape (tools/knn_variant_probe.py).
+        # stage 1: elementwise min across lane blocks (vreg ops only)
         vals = d2[:, :_LANES]
         for b in range(1, nb):
             vals = jnp.minimum(vals, d2[:, b * _LANES : (b + 1) * _LANES])
+        # stage 2: one cross-lane reduce over 128 candidates
         dmin = jnp.min(vals, axis=1)  # (TQ,)
-        # first ORIGINAL index of the min value (tie -> lowest index, same as
-        # the stable-argsort oracle)
+        # first original index of the min value (full-width compare, 1 reduce)
         imin = jnp.min(
             jnp.where(d2 == dmin[:, None], col, mpad), axis=1
         ).astype(jnp.int32)
@@ -69,27 +66,16 @@ def _knn_kernel(ref_ref, q_ref, dist_ref, idx_ref, *, m: int, k: int):
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def knn_pallas(
-    xyz1: jax.Array, xyz2: jax.Array, k: int, tq: int | None = None
-) -> tuple[jax.Array, jax.Array]:
-    """k exact NN of each query in xyz2 among dataset xyz1.
-
-    xyz1: (B, M, 3) dataset, xyz2: (B, Nq, 3) queries.
-    Returns (dist2 (B, Nq, k) ascending, idx (B, Nq, k)). Matches knn_xla.
-
-    tq: query-tile rows per grid program. Large tiles amortize per-program
-    launch overhead; bounded by VMEM for the (tq, Mpad) distance tile.
-    """
+def knn_pallas_v2(xyz1, xyz2, k: int, tq: int | None = None):
     b, m, _ = xyz1.shape
     nq = xyz2.shape[1]
     mpad = _round_up(m, _LANES)
     if tq is None:
-        # Keep the f32 distance tile near ~2MB (tq * mpad * 4 bytes).
         tq = ((512 * 1024 // mpad) // _LANES) * _LANES
         tq = max(_LANES, min(2048, tq))
     tq = min(tq, _round_up(nq, _LANES))
 
-    refs = jnp.transpose(xyz1.astype(jnp.float32), (0, 2, 1))  # (B, 3, M)
+    refs = jnp.transpose(xyz1.astype(jnp.float32), (0, 2, 1))
     if mpad != m:
         refs = jnp.pad(refs, ((0, 0), (0, 0), (0, mpad - m)), constant_values=1e30)
     queries = xyz2.astype(jnp.float32)
@@ -97,7 +83,7 @@ def knn_pallas(
     if nq_pad != nq:
         queries = jnp.pad(queries, ((0, 0), (0, nq_pad - nq), (0, 0)))
 
-    kernel = functools.partial(_knn_kernel, m=m, k=k)
+    kernel = functools.partial(_knn_kernel_v2, m=m, k=k)
     dist, idx = pl.pallas_call(
         kernel,
         grid=(b, nq_pad // tq),
@@ -113,15 +99,29 @@ def knn_pallas(
             jax.ShapeDtypeStruct((b, nq_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((b, nq_pad, k), jnp.int32),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=b * nq_pad * mpad * (8 + 3 * k),
-            bytes_accessed=b * (mpad * 12 + nq_pad * 12 + nq_pad * k * 8),
-            transcendentals=0,
-        ),
     )(refs, queries)
     return dist[:, :nq], idx[:, :nq]
 
 
-def three_nn_pallas(xyz1: jax.Array, xyz2: jax.Array):
-    """3-NN of each xyz1 point among xyz2; squared distances (three_nn parity)."""
-    return knn_pallas(xyz2, xyz1, 3)
+def main():
+    print("backend:", jax.default_backend())
+    rng = np.random.RandomState(0)
+    B, NQ, M, K = 64, 8192, 1024, 3  # FP4 three_nn shape
+    t = (rng.rand(B, NQ, 3) * 10).astype(np.float32)
+    s = (rng.rand(B, M, 3) * 10).astype(np.float32)
+
+    wd, wi = reference.three_nn_np(t[:2], s[:2])
+    gd, gi = knn_pallas_v2(jnp.asarray(s[:2]), jnp.asarray(t[:2]), K)
+    exact = (np.asarray(gi) == wi).all()
+    print("v2 index-exact vs oracle:", exact)
+    assert exact
+
+    sj, tj = jnp.asarray(s), jnp.asarray(t)
+    t1 = slope_time(lambda q: knn_pallas(sj, q, K)[0].sum() + q.sum() * 0, tj)
+    t2 = slope_time(lambda q: knn_pallas_v2(sj, q, K)[0].sum() + q.sum() * 0, tj)
+    print(f"FP4 shape: current {t1 * 1e3:.2f} ms | two-stage {t2 * 1e3:.2f} ms "
+          f"({t1 / t2:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
