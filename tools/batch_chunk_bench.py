@@ -12,7 +12,6 @@ Usage: python tools/batch_chunk_bench.py [--batch 64] [--chunks 0 8 16 32]
 
 import argparse
 import sys
-import time
 
 import numpy as np
 
