@@ -22,35 +22,17 @@ K = 20
 
 
 def device_time(make_step, x, reps=5):
-    """Median wall time of one step, amortized over K chained iterations.
+    """Per-step device time via the canonical K-slope helper.
 
-    Measurement hazards on the tunneled TPU, all defeated here:
-    - per-dispatch sync costs ~26ms -> chain K steps inside one jit;
-    - 0*int dependencies constant-fold and unused optimization_barrier
-      outputs get DCE'd -> epsilon-scaled float dependency;
-    - repeated dispatch with the SAME committed input can be served from a
-      cache -> one distinct pre-committed input per rep;
-    - D2H bandwidth is ~20MB/s -> keep outputs on device (block only).
+    (An earlier version amortized a single K=20 loop and synced with
+    block_until_ready — which RETURNS EARLY for some programs on this
+    backend, silently reporting ~1µs for multi-ms kernels. slope_time uses
+    scalar float() readbacks and the K-slope, which also cancels dispatch
+    overhead.)
     """
+    from pointnet2_tpu.utils.bench import slope_time
 
-    @jax.jit
-    def loop(x):
-        def body(c, _):
-            out = make_step(c)
-            c = c + out.astype(jnp.float32) * jnp.float32(1e-38)
-            return c, ()
-        c, _ = lax.scan(body, x, None, length=K)
-        return c
-
-    xs = [jax.device_put(x + jnp.float32(i) * 1e-6) for i in range(reps + 1)]
-    jax.block_until_ready(xs)
-    loop(xs[0]).block_until_ready()  # compile + warm
-    times = []
-    for i in range(reps):
-        t = time.time()
-        loop(xs[i + 1]).block_until_ready()
-        times.append(time.time() - t)
-    return float(np.median(times)) / K
+    return slope_time(make_step, x, K0=2, K1=2 + K, reps=min(reps, 3))
 
 
 def main():
