@@ -6,13 +6,15 @@ sparse (predicted) points and take the majority label — ties broken by which
 label first reaches the max count in ascending-distance order — then map
 labels to the fixed 9-color palette.
 
-Three engines, auto-dispatched by `densify_labels`:
+Four engines, auto-dispatched by `densify_labels`:
 - native:  C++ grid KNN + OpenMP (native/densify.cpp) — the production path
            for dense clouds with 10^8+ points;
 - scipy:   cKDTree fallback when the native .so isn't built;
 - device:  chunked brute-force top-k on TPU for moderate clouds, used by the
            fused KITTI predict+densify path (kitti_predict.py parity) where
-           the cloud is ~10^5 points and already on-device.
+           the cloud is ~10^5 points and already on-device;
+- sharded: the device engine with the dense cloud point-sharded over every
+           visible chip (parallel/sharded_ops.py).
 """
 
 from __future__ import annotations

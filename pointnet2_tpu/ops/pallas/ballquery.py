@@ -25,6 +25,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pointnet2_tpu.ops.pallas.common import block_min
+
 _LANES = 128
 
 
@@ -59,12 +61,8 @@ def _ball_query_kernel(
     # Unrolled first-k extraction: ascending mins of the key row. Two-stage
     # reduction (blockwise vreg mins, then one cross-lane reduce over 128
     # candidates) — same trick as the kNN kernel, exact semantics.
-    nb = npad // _LANES
     for s in range(nsample):
-        vals = keys[:, :_LANES]
-        for b in range(1, nb):
-            vals = jnp.minimum(vals, keys[:, b * _LANES : (b + 1) * _LANES])
-        kmin = jnp.min(vals, axis=1, keepdims=True)  # (TM, 1)
+        kmin = jnp.min(block_min(keys), axis=1, keepdims=True)  # (TM, 1)
         sel_ref[:, s : s + 1] = kmin
         keys = jnp.where(keys == kmin, n, keys)
 
@@ -113,12 +111,8 @@ def _ball_query_window_kernel(
     cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1)
     cnt_ref[0, 0, 0, :] = jnp.minimum(cnt, nsample)
 
-    nb = w // _LANES
     for s in range(nsample):
-        vals = keys[:, :_LANES]
-        for b in range(1, nb):
-            vals = jnp.minimum(vals, keys[:, b * _LANES : (b + 1) * _LANES])
-        kmin = jnp.min(vals, axis=1, keepdims=True)
+        kmin = jnp.min(block_min(keys), axis=1, keepdims=True)
         sel_ref[:, s : s + 1] = kmin
         keys = jnp.where(keys == kmin, n, keys)
 
@@ -149,7 +143,9 @@ def ball_query_windowed(
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
     tm = min(_LANES, m)
-    w = window or _round_up(max(2 * nsample, n // 4), _LANES)
+    # the window is a performance hint; the kernel's blockwise reduction
+    # requires a 128-multiple width, so round any explicit value up
+    w = _round_up(window or max(2 * nsample, n // 4), _LANES)
     if w >= n or m % tm != 0:
         return ball_query_pallas(xyz1, xyz2, radius, nsample)
     t = m // tm

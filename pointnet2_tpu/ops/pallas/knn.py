@@ -25,6 +25,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pointnet2_tpu.ops.pallas.common import block_min
+
 _LANES = 128
 
 
@@ -35,7 +37,6 @@ def _round_up(x: int, m: int) -> int:
 def _knn_kernel(ref_ref, q_ref, dist_ref, idx_ref, *, m: int, k: int):
     mpad = ref_ref.shape[-1]
     tq = q_ref.shape[1]
-    nb = mpad // _LANES
 
     d2 = jnp.zeros((tq, mpad), jnp.float32)
     for c in range(3):
@@ -51,10 +52,7 @@ def _knn_kernel(ref_ref, q_ref, dist_ref, idx_ref, *, m: int, k: int):
         # (pure vreg ops, no cross-lane shuffles), (2) one cross-lane reduce
         # over the 128 surviving candidates. Measured 1.2x over the
         # argmin+min formulation at the FP4 shape (tools/knn_variant_probe.py).
-        vals = d2[:, :_LANES]
-        for b in range(1, nb):
-            vals = jnp.minimum(vals, d2[:, b * _LANES : (b + 1) * _LANES])
-        dmin = jnp.min(vals, axis=1)  # (TQ,)
+        dmin = jnp.min(block_min(d2), axis=1)  # (TQ,)
         # first ORIGINAL index of the min value (tie -> lowest index, same as
         # the stable-argsort oracle)
         imin = jnp.min(

@@ -18,11 +18,17 @@ tested on the 8-virtual-device CPU mesh).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from pointnet2_tpu.parallel.mesh import BATCH_AXIS
 
@@ -60,8 +66,6 @@ def densify_labels_sharded(
     sparse set (10^5-10^6 points) is replicated, so no communication happens
     during the search.
     """
-    from pointnet2_tpu.ops.densify import _densify_device_jit
-
     axis = mesh.axis_names[0] if mesh.axis_names else BATCH_AXIS
     d = mesh.devices.size
     nd = len(dense_points)
@@ -75,12 +79,21 @@ def densify_labels_sharded(
     sparse_tile = int(max(1, min(8192, sp.shape[0])))
     k = int(min(knn, sp.shape[0]))
 
+    fn = _densify_sharded_jit(mesh, axis, k, local_chunk, sparse_tile)
+    labels = fn(sp, sl, dp)
+    return np.asarray(labels)[:nd]
+
+
+@functools.lru_cache(maxsize=64)
+def _densify_sharded_jit(mesh, axis, k, local_chunk, sparse_tile):
+    """Jitted shard_map closure cached per (mesh, static params) so repeated
+    same-shape calls reuse the compiled program."""
+    from pointnet2_tpu.ops.densify import _densify_device_jit
+
     def local(sp, sl, dp_shard):
         return _densify_device_jit(sp, sl, dp_shard, k, local_chunk, sparse_tile)
 
-    fn = _shard_map(local, mesh, (P(), P(), P(axis)), P(axis))
-    labels = jax.jit(fn)(sp, sl, dp)
-    return np.asarray(labels)[:nd]
+    return jax.jit(_shard_map(local, mesh, (P(), P(), P(axis)), P(axis)))
 
 
 def knn_sharded(xyz_refs, xyz_queries, k: int, mesh: Mesh):
@@ -90,8 +103,6 @@ def knn_sharded(xyz_refs, xyz_queries, k: int, mesh: Mesh):
     Returns (dist2 (N, k), idx (N, k)) ascending, identical to ops.knn on a
     single device (unbatched variant).
     """
-    from pointnet2_tpu.ops.core import knn_xla
-
     axis = mesh.axis_names[0] if mesh.axis_names else BATCH_AXIS
     d = mesh.devices.size
     n = len(xyz_queries)
@@ -101,13 +112,19 @@ def knn_sharded(xyz_refs, xyz_queries, k: int, mesh: Mesh):
         q = jnp.pad(q, ((0, npad - n), (0, 0)))
     refs = jnp.asarray(np.asarray(xyz_refs, np.float32))
 
+    d2, idx = _knn_sharded_jit(mesh, axis, k)(refs, q)
+    return d2[:n], idx[:n]
+
+
+@functools.lru_cache(maxsize=64)
+def _knn_sharded_jit(mesh, axis, k):
+    from pointnet2_tpu.ops.core import knn_xla
+
     def local(refs, q_shard):
         d2, idx = knn_xla(refs[None], q_shard[None], k)
         return d2[0], idx[0]
 
-    fn = _shard_map(local, mesh, (P(), P(axis)), (P(axis), P(axis)))
-    d2, idx = jax.jit(fn)(refs, q)
-    return d2[:n], idx[:n]
+    return jax.jit(_shard_map(local, mesh, (P(), P(axis)), (P(axis), P(axis))))
 
 
 def three_nn_sharded(xyz_targets, xyz_refs, mesh: Mesh):

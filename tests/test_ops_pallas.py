@@ -163,3 +163,19 @@ class TestThreeInterpolatePallas:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw_pal), np.asarray(gw_ref),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_ball_query_windowed_non_multiple_window(rng):
+    """Explicit windows are perf hints: non-128-multiples must round up, not
+    silently drop trailing columns (regression for the blockwise reduction)."""
+    from pointnet2_tpu.ops.pallas import ball_query_windowed
+
+    xyz1 = _cloud(rng, 1, 1024, scale=4.0)
+    # mid-band queries so the window path (not the fallback) is exercised
+    order = np.argsort(xyz1[0, :, 0])
+    xyz2 = xyz1[:, order[256:384]]
+    want_idx, want_cnt = reference.ball_query_np(xyz1, xyz2, 0.3, 8)
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_cnt = ball_query_windowed(xyz1, xyz2, 0.3, 8, window=333)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+    np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)

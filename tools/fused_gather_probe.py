@@ -10,7 +10,6 @@ move. Also measures the cost per row vs the SMEM-indexed row-loop gather.
 
 import functools
 import sys
-import time
 
 import numpy as np
 

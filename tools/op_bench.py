@@ -8,7 +8,6 @@ tunneled TPU costs ~26ms and would swamp sub-ms kernels.
 """
 
 import sys
-import time
 
 import numpy as np
 
@@ -21,7 +20,7 @@ from jax import lax
 K = 20
 
 
-def device_time(make_step, x, reps=5):
+def device_time(make_step, x, reps=3):
     """Per-step device time via the canonical K-slope helper.
 
     (An earlier version amortized a single K=20 loop and synced with
@@ -32,7 +31,7 @@ def device_time(make_step, x, reps=5):
     """
     from pointnet2_tpu.utils.bench import slope_time
 
-    return slope_time(make_step, x, K0=2, K1=2 + K, reps=min(reps, 3))
+    return slope_time(make_step, x, K0=2, K1=2 + K, reps=reps)
 
 
 def main():
