@@ -24,7 +24,11 @@ from flax import linen as nn
 
 from pointnet2_tpu.config import Config
 from pointnet2_tpu.nn.layers import BatchNorm
-from pointnet2_tpu.nn.pointnet import FeaturePropagation, SetAbstraction
+from pointnet2_tpu.nn.pointnet import (
+    FeaturePropagation,
+    SetAbstraction,
+    SetAbstractionMSG,
+)
 
 SA_MLPS = ([32, 32, 64], [64, 64, 128], [128, 128, 256], [256, 256, 512])
 FP_MLPS = ([256, 256], [256, 256], [256, 128], [128, 128, 128])
@@ -88,6 +92,77 @@ class PointNet2SemSeg(nn.Module):
             self.num_classes, kernel_init=nn.initializers.xavier_uniform(), name="fc2"
         )(net)
         return logits
+
+
+class PointNet2SemSegMSG(nn.Module):
+    """Multi-scale-grouping variant of the segmentation net.
+
+    The reference ships the MSG module (util/pointnet_util.py:219-282,
+    pointnet_sa_module_msg) but its model never instantiates it; this model
+    exercises it end-to-end: the two dense encoder levels group at two radii
+    each (r/2 and r, half/full nsample) and concatenate per-scale features,
+    the two coarse levels stay SSG, and the FP decoder adapts to the wider
+    skip channels automatically.
+    """
+
+    num_classes: int = 9
+    use_color: bool = True
+    config: Optional[Config] = None
+    ops_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
+        cfg = self.config or Config()
+        l0_xyz = point_cloud[..., :3]
+        l0_points = point_cloud[..., 3:6] if self.use_color else None
+
+        xyzs = [l0_xyz]
+        feats = [l0_points]
+        for i, (spec, mlp) in enumerate(zip(cfg.sa_layers, SA_MLPS)):
+            if i < 2:  # dense levels: two grouping scales
+                new_xyz, new_points = SetAbstractionMSG(
+                    npoint=spec.npoint,
+                    radius_list=(spec.radius / 2.0, spec.radius),
+                    nsample_list=(max(spec.nsample // 2, 1), spec.nsample),
+                    mlp_list=([c // 2 for c in mlp], mlp),
+                    ops_impl=self.ops_impl,
+                    name=f"sa{i + 1}",
+                )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
+            else:
+                new_xyz, new_points, _ = SetAbstraction(
+                    npoint=spec.npoint,
+                    radius=spec.radius,
+                    nsample=spec.nsample,
+                    mlp=mlp,
+                    ops_impl=self.ops_impl,
+                    name=f"sa{i + 1}",
+                )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
+            xyzs.append(new_xyz)
+            feats.append(new_points)
+
+        for i, mlp in enumerate(FP_MLPS):
+            lvl = 3 - i
+            feats[lvl] = FeaturePropagation(
+                mlp=mlp, ops_impl=self.ops_impl, name=f"fp{i + 1}"
+            )(
+                xyzs[lvl],
+                xyzs[lvl + 1],
+                feats[lvl],
+                feats[lvl + 1],
+                train=train,
+                bn_momentum=bn_momentum,
+            )
+
+        net = nn.Dense(
+            128, kernel_init=nn.initializers.xavier_uniform(), name="fc1"
+        )(feats[0])
+        net = BatchNorm(name="fc1_bn")(net, train=train, momentum=bn_momentum)
+        net = nn.relu(net)
+        net = nn.Dropout(rate=0.5, deterministic=not train, name="dp1")(net)
+        return nn.Dense(
+            self.num_classes, kernel_init=nn.initializers.xavier_uniform(),
+            name="fc2",
+        )(net)
 
 
 def weighted_ce_loss(logits, labels, weights):

@@ -197,3 +197,69 @@ class TestLoss:
         labels = jnp.zeros((1, 4), jnp.int32)
         loss = weighted_ce_loss(logits, labels, jnp.zeros((1, 4)))
         assert float(loss) == 0.0
+
+
+class TestMSGModel:
+    """MSG segmentation variant (exercises pointnet_sa_module_msg parity,
+    util/pointnet_util.py:219-282 — module present but unused in the
+    reference model)."""
+
+    def _cfg(self):
+        return Config(num_point=256, l1_npoint=64, l2_npoint=32,
+                      l3_npoint=16, l4_npoint=8,
+                      l1_nsample=8, l2_nsample=8, l3_nsample=8, l4_nsample=8)
+
+    def test_forward_shape_and_finiteness(self, rng):
+        from pointnet2_tpu.models import PointNet2SemSegMSG
+
+        model = PointNet2SemSegMSG(num_classes=9, use_color=True,
+                                   config=self._cfg())
+        x = rng.randn(2, 256, 6).astype(np.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        logits = model.apply(variables, x, train=False)
+        assert logits.shape == (2, 256, 9)
+        assert np.isfinite(np.asarray(logits)).all()
+        # MSG levels concatenate two scales: params exist for both mlp branches
+        assert "mlp_0" in variables["params"]["sa1"]
+        assert "mlp_1" in variables["params"]["sa1"]
+
+    def test_train_step_decreases_loss(self, rng):
+        from pointnet2_tpu.models import PointNet2SemSegMSG, weighted_ce_loss
+        import optax
+
+        model = PointNet2SemSegMSG(num_classes=9, use_color=True,
+                                   config=self._cfg())
+        x = rng.randn(2, 256, 6).astype(np.float32)
+        labels = (x[..., 2] > 0).astype(np.int32) + 1
+        weights = np.ones_like(labels, np.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        params, stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, stats, opt_state, rng):
+            def loss_fn(p):
+                logits, mutated = model.apply(
+                    {"params": p, "batch_stats": stats}, x, train=True,
+                    bn_momentum=0.9, rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                return weighted_ce_loss(logits, labels, weights), mutated
+            (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), mutated["batch_stats"], opt_state, loss
+
+        losses = []
+        key = jax.random.PRNGKey(2)
+        for i in range(15):
+            params, stats, opt_state, loss = step(
+                params, stats, opt_state, jax.random.fold_in(key, i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
