@@ -42,7 +42,11 @@ def main() -> None:
     from pointnet2_tpu.config import Config
     from pointnet2_tpu.data.pipeline import BatchProducer, device_prefetch
     from pointnet2_tpu.data.semantic3d import SemanticDataset
-    from pointnet2_tpu.parallel import batch_sharding, create_mesh
+    from pointnet2_tpu.parallel import (
+        batch_sharding,
+        create_mesh,
+        replicated_sharding,
+    )
     from pointnet2_tpu.train.trainer import (
         Trainer,
         restore_checkpoint,
@@ -84,6 +88,10 @@ def main() -> None:
     state = trainer.init_state(jax.random.PRNGKey(flags.seed or 0))
     if flags.resume:
         state = restore_checkpoint(os.path.abspath(flags.resume), state)
+        # orbax restores arrays COMMITTED to one device; re-place them
+        # replicated over the mesh or the jitted step rejects the mix with
+        # the mesh-sharded batches
+        state = jax.device_put(state, replicated_sharding(mesh))
         logger.log(f"resumed from {flags.resume} at step {int(state.step)}")
     dropout_rng = jax.random.PRNGKey((flags.seed or 0) + 1)
 
@@ -203,6 +211,17 @@ def main() -> None:
                 save_checkpoint(path, state)
                 logger.log(f"Model saved in file: {path}")
     finally:
+        # Crash/interrupt-safe autosave: whatever stopped the loop (SIGINT,
+        # preemption-raised exception, normal completion), the latest state is
+        # recoverable via --resume. The reference loses everything since the
+        # last periodic save (train.py:455-460).
+        try:
+            if int(state.step) > 0:
+                path = os.path.abspath(os.path.join(cfg.logdir, "model_autosave"))
+                save_checkpoint(path, state)
+                logger.log(f"Autosaved state at step {int(state.step)}: {path}")
+        except Exception as e:  # never mask the original exception
+            logger.log(f"autosave failed: {e}")
         train_producer.stop()
         val_producer.stop()
         logger.close()
