@@ -23,14 +23,19 @@ sys.path.insert(0, "/root/repo")
 
 
 def make_scene(prefix, out_dir, rng, n=120_000):
+    """Geometry-separable scene containing ALL 8 foreground classes."""
     from pointnet2_tpu.data.io import write_labels, write_pcd
 
     pts = rng.rand(n, 3) * [30.0, 30.0, 4.0]
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    # strata give classes 1/4/6; radial features carve out the rest
     labels = np.where(z < 1.3, 1, np.where(z < 2.6, 4, 6)).astype(np.int32)
     r = np.hypot(x - 15, y - 15)
     labels[r < 5] = 2
     labels[(r >= 5) & (r < 8) & (z > 2)] = 8
+    labels[(x < 6) & (z < 1.0)] = 3
+    labels[(y < 6) & (z >= 3.2)] = 5
+    labels[(x > 24) & (y > 24)] = 7
     # colors correlated with labels + noise so the color path carries signal
     base = np.stack([labels / 8.0, 1.0 - labels / 8.0, 0.5 * np.ones_like(x)], 1)
     colors = np.clip(base + rng.randn(n, 3) * 0.1, 0, 1)
