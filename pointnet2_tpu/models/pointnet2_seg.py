@@ -16,7 +16,7 @@ SUM_BY_NONZERO_WEIGHTS reduction).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,12 @@ class PointNet2SemSeg(nn.Module):
     config: Optional[Config] = None
     ops_impl: Optional[str] = None
     pre_project: bool = True
+    # Computation dtype for the MLP/feature path (jnp.bfloat16 for the
+    # production inference mode; None = f32 parity default). Params stay
+    # f32 — the same checkpoints serve both modes. Geometry ops (FPS, ball
+    # query, 3-NN) always run f32, so neighbor structure is bit-identical;
+    # only MLP activations and the interpolation matmul change precision.
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
@@ -63,6 +69,7 @@ class PointNet2SemSeg(nn.Module):
                 mlp=mlp,
                 ops_impl=self.ops_impl,
                 pre_project=self.pre_project,
+                compute_dtype=self.compute_dtype,
                 name=f"sa{i + 1}",
             )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             xyzs.append(new_xyz)
@@ -72,7 +79,10 @@ class PointNet2SemSeg(nn.Module):
         for i, mlp in enumerate(FP_MLPS):
             lvl = 3 - i  # target level: 3, 2, 1, 0
             feats[lvl] = FeaturePropagation(
-                mlp=mlp, ops_impl=self.ops_impl, name=f"fp{i + 1}"
+                mlp=mlp,
+                ops_impl=self.ops_impl,
+                compute_dtype=self.compute_dtype,
+                name=f"fp{i + 1}",
             )(
                 xyzs[lvl],
                 xyzs[lvl + 1],
@@ -83,11 +93,16 @@ class PointNet2SemSeg(nn.Module):
             )
 
         net = nn.Dense(
-            128, kernel_init=nn.initializers.xavier_uniform(), name="fc1"
+            128,
+            dtype=self.compute_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc1",
         )(feats[0])
         net = BatchNorm(name="fc1_bn")(net, train=train, momentum=bn_momentum)
         net = nn.relu(net)
         net = nn.Dropout(rate=0.5, deterministic=not train, name="dp1")(net)
+        # The head keeps f32 logits (flax promotes bf16 activations against
+        # the f32 kernel when dtype is None) so argmax ties break like f32.
         logits = nn.Dense(
             self.num_classes, kernel_init=nn.initializers.xavier_uniform(), name="fc2"
         )(net)
@@ -109,6 +124,7 @@ class PointNet2SemSegMSG(nn.Module):
     use_color: bool = True
     config: Optional[Config] = None
     ops_impl: Optional[str] = None
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
@@ -126,6 +142,7 @@ class PointNet2SemSegMSG(nn.Module):
                     nsample_list=(max(spec.nsample // 2, 1), spec.nsample),
                     mlp_list=([c // 2 for c in mlp], mlp),
                     ops_impl=self.ops_impl,
+                    compute_dtype=self.compute_dtype,
                     name=f"sa{i + 1}",
                 )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             else:
@@ -135,6 +152,7 @@ class PointNet2SemSegMSG(nn.Module):
                     nsample=spec.nsample,
                     mlp=mlp,
                     ops_impl=self.ops_impl,
+                    compute_dtype=self.compute_dtype,
                     name=f"sa{i + 1}",
                 )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             xyzs.append(new_xyz)
@@ -143,7 +161,10 @@ class PointNet2SemSegMSG(nn.Module):
         for i, mlp in enumerate(FP_MLPS):
             lvl = 3 - i
             feats[lvl] = FeaturePropagation(
-                mlp=mlp, ops_impl=self.ops_impl, name=f"fp{i + 1}"
+                mlp=mlp,
+                ops_impl=self.ops_impl,
+                compute_dtype=self.compute_dtype,
+                name=f"fp{i + 1}",
             )(
                 xyzs[lvl],
                 xyzs[lvl + 1],
@@ -154,7 +175,10 @@ class PointNet2SemSegMSG(nn.Module):
             )
 
         net = nn.Dense(
-            128, kernel_init=nn.initializers.xavier_uniform(), name="fc1"
+            128,
+            dtype=self.compute_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc1",
         )(feats[0])
         net = BatchNorm(name="fc1_bn")(net, train=train, momentum=bn_momentum)
         net = nn.relu(net)
@@ -165,6 +189,21 @@ class PointNet2SemSegMSG(nn.Module):
         )(net)
 
 
+def weighted_ce_sum(logits, labels, weights):
+    """Unnormalized weighted CE: (sum of ce*w, number of nonzero weights).
+
+    The two accumulands of TF's SUM_BY_NONZERO_WEIGHTS reduction, exposed
+    separately so gradient accumulation can sum them across microbatches
+    and normalize once globally (exactly the whole-batch loss).
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[
+        ..., 0
+    ]
+    w = weights.astype(jnp.float32)
+    return jnp.sum(ce * w), jnp.sum(w != 0.0).astype(jnp.float32)
+
+
 def weighted_ce_loss(logits, labels, weights):
     """Weighted sparse softmax cross entropy.
 
@@ -173,10 +212,5 @@ def weighted_ce_loss(logits, labels, weights):
     summed, divided by the number of non-zero weights
     (tf.losses.Reduction.SUM_BY_NONZERO_WEIGHTS).
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[
-        ..., 0
-    ]
-    w = weights.astype(jnp.float32)
-    num_nonzero = jnp.sum(w != 0.0)
-    return jnp.sum(ce * w) / jnp.maximum(num_nonzero, 1.0)
+    total, num_nonzero = weighted_ce_sum(logits, labels, weights)
+    return total / jnp.maximum(num_nonzero, 1.0)

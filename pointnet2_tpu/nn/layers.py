@@ -13,7 +13,7 @@ BatchNorm momentum is a static attribute and cannot follow a schedule.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -70,12 +70,18 @@ class SharedMLP(nn.Module):
 
     features: Sequence[int]
     use_bn: bool = True
+    # Computation dtype for the Dense matmuls (params stay f32). Set to
+    # jnp.bfloat16 for the production bf16 inference mode: activations and
+    # the MXU inputs run in bf16, halving HBM traffic for the grouped
+    # tensors. None = full f32 (the parity default).
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, bn_momentum) -> jax.Array:
         for i, f in enumerate(self.features):
             x = nn.Dense(
                 f,
+                dtype=self.dtype,
                 kernel_init=nn.initializers.xavier_uniform(),
                 bias_init=nn.initializers.zeros,
                 name=f"dense_{i}",

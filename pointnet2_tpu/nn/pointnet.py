@@ -19,7 +19,7 @@ Feature parity with the reference modules:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +133,10 @@ class SetAbstraction(nn.Module):
     use_bn: bool = True
     pre_project: bool = True
     ops_impl: Optional[str] = None
+    # Computation dtype for the MLP/feature path (see SharedMLP.dtype).
+    # Geometry (FPS / ball query / kNN) always runs in f32 — neighbor
+    # selection stays bit-exact in bf16 mode.
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, xyz, points, *, train: bool, bn_momentum):
@@ -154,14 +158,14 @@ class SetAbstraction(nn.Module):
                 impl=self.ops_impl,
             )
 
-        new_points = SharedMLP(self.mlp, use_bn=self.use_bn, name="mlp")(
-            new_points, train=train, bn_momentum=bn_momentum
-        )
+        new_points = SharedMLP(
+            self.mlp, use_bn=self.use_bn, dtype=self.compute_dtype, name="mlp"
+        )(new_points, train=train, bn_momentum=bn_momentum)
         new_points = _pool(new_points, grouped_xyz, self.pooling)
         if self.mlp2:
-            new_points = SharedMLP(self.mlp2, use_bn=self.use_bn, name="mlp2")(
-                new_points, train=train, bn_momentum=bn_momentum
-            )
+            new_points = SharedMLP(
+                self.mlp2, use_bn=self.use_bn, dtype=self.compute_dtype, name="mlp2"
+            )(new_points, train=train, bn_momentum=bn_momentum)
         return new_xyz, new_points, idx
 
     def _pre_projected(self, xyz, points, train, bn_momentum):
@@ -176,6 +180,11 @@ class SetAbstraction(nn.Module):
         w = self.param("w0", nn.initializers.xavier_uniform(), (cin, f0), jnp.float32)
         b = self.param("b0", nn.initializers.zeros, (f0,), jnp.float32)
 
+        # The projection/subtraction/BN stay f32 even in bf16 mode:
+        # ``grouped - zq`` subtracts two O(|x|) projections to recover the
+        # O(radius) local offset — bf16-rounded operands lose most of the
+        # difference (measured: logits off by ~50% when this ran in bf16).
+        # The cast to compute_dtype happens after bn0 normalizes scale.
         zp = inputs @ w + b  # (B, N, f0): layer-1 linear over ALL points
 
         fps_idx = ops.farthest_point_sample(xyz, self.npoint, impl=self.ops_impl)
@@ -195,10 +204,15 @@ class SetAbstraction(nn.Module):
         if self.use_bn:
             h = BatchNorm(name="bn0")(h, train=train, momentum=bn_momentum)
         h = nn.relu(h)
+        if self.compute_dtype is not None:
+            h = h.astype(self.compute_dtype)
         if len(self.mlp) > 1:
-            h = SharedMLP(self.mlp[1:], use_bn=self.use_bn, name="mlp_rest")(
-                h, train=train, bn_momentum=bn_momentum
-            )
+            h = SharedMLP(
+                self.mlp[1:],
+                use_bn=self.use_bn,
+                dtype=self.compute_dtype,
+                name="mlp_rest",
+            )(h, train=train, bn_momentum=bn_momentum)
 
         if self.pooling == "weighted_avg":
             grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
@@ -206,9 +220,9 @@ class SetAbstraction(nn.Module):
             grouped_xyz = None
         new_points = _pool(h, grouped_xyz, self.pooling)
         if self.mlp2:
-            new_points = SharedMLP(self.mlp2, use_bn=self.use_bn, name="mlp2")(
-                new_points, train=train, bn_momentum=bn_momentum
-            )
+            new_points = SharedMLP(
+                self.mlp2, use_bn=self.use_bn, dtype=self.compute_dtype, name="mlp2"
+            )(new_points, train=train, bn_momentum=bn_momentum)
         return new_xyz, new_points, idx
 
 
@@ -226,6 +240,7 @@ class SetAbstractionMSG(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
     ops_impl: Optional[str] = None
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, xyz, points, *, train: bool, bn_momentum):
@@ -246,9 +261,12 @@ class SetAbstractionMSG(nn.Module):
                 )
             else:
                 grouped = grouped_xyz
-            feats = SharedMLP(self.mlp_list[i], use_bn=self.use_bn, name=f"mlp_{i}")(
-                grouped, train=train, bn_momentum=bn_momentum
-            )
+            feats = SharedMLP(
+                self.mlp_list[i],
+                use_bn=self.use_bn,
+                dtype=self.compute_dtype,
+                name=f"mlp_{i}",
+            )(grouped, train=train, bn_momentum=bn_momentum)
             scale_feats.append(jnp.max(feats, axis=2))
         return new_xyz, jnp.concatenate(scale_feats, axis=-1)
 
@@ -265,6 +283,7 @@ class FeaturePropagation(nn.Module):
     mlp: Sequence[int]
     use_bn: bool = True
     ops_impl: Optional[str] = None
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, points1, points2, *, train: bool, bn_momentum):
@@ -273,12 +292,20 @@ class FeaturePropagation(nn.Module):
         # geometry, not parameters — stop the (useless) backward sweep.
         dist2 = lax.stop_gradient(dist2)
         weight = ops.interpolation_weights(dist2)
-        interpolated = ops.three_interpolate(points2, idx, weight, impl=self.ops_impl)
-        new_points = (
-            jnp.concatenate([interpolated, points1], axis=-1)
-            if points1 is not None
-            else interpolated
+        # bf16 mode runs the sparse-weight interpolation matmul at default
+        # MXU precision (bf16 inputs, ~2x the highest-precision rate).
+        precision = (
+            "default" if self.compute_dtype == jnp.bfloat16 else None
         )
-        return SharedMLP(self.mlp, use_bn=self.use_bn, name="mlp")(
-            new_points, train=train, bn_momentum=bn_momentum
+        interpolated = ops.three_interpolate(
+            points2, idx, weight, impl=self.ops_impl, precision=precision
         )
+        if points1 is not None:
+            if self.compute_dtype is not None:
+                points1 = points1.astype(self.compute_dtype)
+            new_points = jnp.concatenate([interpolated, points1], axis=-1)
+        else:
+            new_points = interpolated
+        return SharedMLP(
+            self.mlp, use_bn=self.use_bn, dtype=self.compute_dtype, name="mlp"
+        )(new_points, train=train, bn_momentum=bn_momentum)

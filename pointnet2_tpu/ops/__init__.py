@@ -97,13 +97,19 @@ def three_nn(xyz1, xyz2, impl: str | None = None):
     return three_nn_xla(xyz1, xyz2)
 
 
-def three_interpolate(points, idx, weight, impl: str | None = None):
+def three_interpolate(
+    points, idx, weight, impl: str | None = None, precision: str | None = None
+):
     """Inverse-distance 3-point blend (tf_ops/tf_interpolate.cpp:305-330).
 
     TPU default runs as a sparse-weight MXU matmul (the (N, 3, C) gathered
     intermediate never materializes; ~1e-7 rel vs the gather formulation);
     impl="xla" keeps the exact gather + weighted-sum path.
+
+    ``precision`` applies to the MXU formulation: "highest" (default, f32
+    passes) or "default" (bf16 MXU inputs, ~2x the rate — the production
+    bf16 inference mode). The XLA gather path is unaffected.
     """
     if _use_pallas(impl):
-        return three_interpolate_pallas(points, idx, weight)
+        return three_interpolate_pallas(points, idx, weight, precision or "highest")
     return three_interpolate_xla(points, idx, weight)

@@ -23,7 +23,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from pointnet2_tpu.config import Config
-from pointnet2_tpu.models import PointNet2SemSeg, weighted_ce_loss
+from pointnet2_tpu.models import PointNet2SemSeg, weighted_ce_loss, weighted_ce_sum
 from pointnet2_tpu.utils.metrics import confusion_matrix_jax
 
 
@@ -77,9 +77,25 @@ class Trainer:
     # which measures ~29% faster at batch 64 and 2.3x at batch 128 than the
     # monolithic forward (tools/batch_chunk_bench.py, PERFORMANCE.md). Exactly
     # equivalent math — eval-mode BN uses moving stats, so per-chunk results
-    # are independent. Training is NOT chunked (train-mode BN needs
-    # whole-batch moments).
+    # are independent.
     infer_chunk: int = 8
+    # Gradient accumulation: split each train batch into this many
+    # microbatches, scan over them accumulating gradients, and apply ONE
+    # optimizer update. Gradient math is exact vs the monolithic step for
+    # fixed activations: the loss is sum(ce*w)/num_nonzero over the WHOLE
+    # batch (TF's SUM_BY_NONZERO_WEIGHTS, model.py:152-161), so we
+    # accumulate unnormalized gradient sums and divide by the global
+    # nonzero count once. BatchNorm uses per-microbatch moments (ghost BN)
+    # and its EMA advances once per microbatch — the one intentional
+    # semantic difference, documented in PERFORMANCE.md. Like infer_chunk,
+    # this keeps the grouped tensors' HBM working set at the microbatch
+    # size, which is what makes large-batch training fast.
+    accum_steps: int = 1
+    # Inference computation dtype: "float32" (parity default) or
+    # "bfloat16" (production mode: MLP activations + interpolation matmul
+    # in bf16; geometry ops and logits stay f32; same f32 checkpoints).
+    # Training always runs f32. Accuracy delta measured in PERFORMANCE.md.
+    infer_dtype: str = "float32"
 
     def __post_init__(self):
         self.model = PointNet2SemSeg(
@@ -88,6 +104,15 @@ class Trainer:
             config=self.cfg,
             ops_impl=self.ops_impl,
         )
+        if self.infer_dtype in ("bfloat16", "bf16"):
+            self.infer_model = self.model.clone(compute_dtype=jnp.bfloat16)
+        elif self.infer_dtype in ("float32", "f32"):
+            self.infer_model = self.model
+        else:
+            raise ValueError(
+                f"unknown infer_dtype {self.infer_dtype!r}, "
+                "expected 'float32'/'bfloat16'"
+            )
         self.lr_schedule = learning_rate_schedule(self.cfg)
         self.bn_schedule = bn_momentum_schedule(self.cfg)
         if self.cfg.optimizer == "momentum":
@@ -128,6 +153,8 @@ class Trainer:
         """One optimizer step. batch: points (B,N,D), labels (B,N), weights (B,N)."""
         bn_momentum = self.bn_schedule(state.step)
         rng = jax.random.fold_in(dropout_rng, state.step)
+        if self.accum_steps > 1 and batch["points"].shape[0] % self.accum_steps == 0:
+            return self._train_step_accum(state, batch, rng, bn_momentum)
 
         def loss_fn(params):
             logits, mutated = self.model.apply(
@@ -164,12 +191,107 @@ class Trainer:
         )
         return new_state, metrics
 
+    def _train_step_accum(self, state, batch: dict, rng, bn_momentum):
+        """Gradient-accumulated optimizer step (see ``accum_steps``).
+
+        Scans over ``accum_steps`` microbatches, summing unnormalized
+        gradients and the global nonzero-weight count; one normalization +
+        optimizer update at the end reproduces the whole-batch
+        SUM_BY_NONZERO_WEIGHTS loss exactly. Microbatches are strided
+        (``batch[j::accum_steps]``) so a batch sharded over a device mesh
+        keeps every device busy in every microbatch.
+        """
+        g = self.accum_steps
+        b, n = batch["labels"].shape
+        micro = b // g
+
+        def to_micro(x):
+            # sample i -> (microbatch i % g, slot i // g): strided split.
+            return jnp.moveaxis(x.reshape(micro, g, *x.shape[1:]), 1, 0)
+
+        xs = {k: to_micro(v) for k, v in batch.items()}
+
+        def loss_fn(params, stats, pts, labels, weights, mrng):
+            logits, mutated = self.model.apply(
+                {"params": params, "batch_stats": stats},
+                pts,
+                train=True,
+                bn_momentum=bn_momentum,
+                rngs={"dropout": mrng},
+                mutable=["batch_stats"],
+            )
+            ce_sum, nonzero = weighted_ce_sum(logits, labels, weights)
+            return ce_sum, (logits, nonzero, mutated["batch_stats"])
+
+        def micro_step(carry, inputs):
+            stats, grad_sum, ce_sum, nz_sum, conf, correct, j = carry
+            mrng = jax.random.fold_in(rng, j)
+            (ce, (logits, nonzero, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, stats, inputs["points"], inputs["labels"],
+              inputs["weights"], mrng)
+            preds = jnp.argmax(logits, axis=-1)
+            carry = (
+                new_stats,
+                jax.tree.map(jnp.add, grad_sum, grads),
+                ce_sum + ce,
+                nz_sum + nonzero,
+                conf + confusion_matrix_jax(
+                    inputs["labels"], preds, self.num_classes
+                ),
+                correct
+                + jnp.sum((preds == inputs["labels"]).astype(jnp.float32)),
+                j + 1,
+            )
+            return carry, None
+
+        init = (
+            state.batch_stats,
+            jax.tree.map(jnp.zeros_like, state.params),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((self.num_classes, self.num_classes), jnp.int32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+        (new_stats, grad_sum, ce_sum, nz_sum, conf, correct, _), _ = jax.lax.scan(
+            micro_step, init, xs
+        )
+
+        denom = jnp.maximum(nz_sum, 1.0)
+        grads = jax.tree.map(lambda x: x / denom, grad_sum)
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": ce_sum / denom,
+            "accuracy": correct / float(b * n),
+            "confusion": conf,
+            "learning_rate": self.lr_schedule(state.step),
+            "bn_decay": bn_momentum,
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
     def _infer_logits(self, state: TrainState, points: jax.Array) -> jax.Array:
         """Eval-mode forward, batch-chunked for HBM locality (see infer_chunk)."""
+        params, batch_stats = state.params, state.batch_stats
+        if self.infer_model is not self.model:
+            # bf16 mode: fold eval BN into the linear layers in f32 so the
+            # bf16 rounding lands on normalized activations (see nn/fold.py
+            # for the measured conditioning argument). Tree-level math,
+            # negligible next to the forward; runs inside the jit.
+            from pointnet2_tpu.nn.fold import fold_batch_norm
+
+            params, batch_stats = fold_batch_norm(params, batch_stats)
 
         def forward(x):
-            return self.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+            return self.infer_model.apply(
+                {"params": params, "batch_stats": batch_stats},
                 x,
                 train=False,
                 bn_momentum=0.9,

@@ -263,3 +263,75 @@ class TestMSGModel:
                 params, stats, opt_state, jax.random.fold_in(key, i))
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+class TestBf16InferenceMode:
+    """compute_dtype=bfloat16: same params, f32 geometry, bf16 MLP path."""
+
+    def test_param_tree_and_logits_close(self, rng):
+        x = jnp.asarray(rng.rand(2, SMALL.num_point, 6), jnp.float32)
+        m32 = PointNet2SemSeg(config=SMALL)
+        m16 = PointNet2SemSeg(config=SMALL, compute_dtype=jnp.bfloat16)
+        v = _init(m32, x)
+        # identical param structure AND identical init (params stay f32)
+        v16 = _init(m16, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            v["params"],
+            v16["params"],
+        )
+        l32 = m32.apply(v, x, train=False, bn_momentum=0.9)
+        l16 = m16.apply(v, x, train=False, bn_momentum=0.9)
+        assert l16.dtype == jnp.float32  # head keeps f32 logits
+        # bf16 has ~3 decimal digits; normalized activations keep the
+        # accumulated error small relative to the logit scale.
+        scale = float(jnp.abs(l32).max())
+        assert float(jnp.abs(l32 - l16).max()) < 0.05 * max(scale, 1.0)
+
+    def test_bn_fold_is_equivalent_in_f32(self, rng):
+        """fold_batch_norm: folded eval forward == unfolded (f32)."""
+        from pointnet2_tpu.nn.fold import fold_batch_norm
+        from pointnet2_tpu.train.trainer import Trainer
+
+        cfg = SMALL.replace(batch_size=4)
+        tr = Trainer(cfg=cfg)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        pts = rng.rand(4, cfg.num_point, 6).astype(np.float32)
+        labels = 1 + (pts[:, :, 2] > 0.5).astype(np.int32)
+        batch = {
+            "points": jnp.asarray(pts),
+            "labels": jnp.asarray(labels),
+            "weights": jnp.ones((4, cfg.num_point), jnp.float32),
+        }
+        drng = jax.random.PRNGKey(3)
+        for _ in range(3):  # move BN stats off their init values
+            state, _ = tr.train_step(state, dict(batch), drng)
+
+        l_plain = tr.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["points"], train=False, bn_momentum=0.9,
+        )
+        fp, fs = fold_batch_norm(state.params, state.batch_stats)
+        l_fold = tr.model.apply(
+            {"params": fp, "batch_stats": fs},
+            batch["points"], train=False, bn_momentum=0.9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_fold), np.asarray(l_plain), atol=2e-3, rtol=1e-3
+        )
+
+        # after training a bit, bf16 inference still lands on mostly the
+        # same labels (margins at 3 toy steps are weak; the production
+        # accuracy measurement is tools/bf16_bench.py on hardware)
+        tr16 = Trainer(cfg=cfg, infer_dtype="bfloat16")
+        p32 = np.asarray(tr.predict_step(state, batch["points"]))
+        p16 = np.asarray(tr16.predict_step(state, batch["points"]))
+        assert float(np.mean(p32 == p16)) > 0.8
+
+    def test_unknown_infer_dtype_rejected(self):
+        from pointnet2_tpu.train.trainer import Trainer
+
+        with pytest.raises(ValueError, match="infer_dtype"):
+            Trainer(cfg=SMALL, infer_dtype="float16")

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Train-step throughput: monolithic vs gradient-accumulated microbatches.
+
+Measures the FULL train step (forward + backward + optimizer update +
+device metrics, i.e. Trainer._train_step math) at several batch sizes and
+accum_steps values with the canonical K-slope timer. The hypothesis under
+test mirrors the inference finding (tools/batch_chunk_bench.py): the
+grouped tensors' HBM working set grows ~8 MB/sample in the backward, so
+splitting a large batch into microbatches should keep large-batch training
+at the small-batch rate.
+
+Usage: python tools/train_accum_bench.py [B[,B...]] [G[,G...]]
+Defaults: B=16,32,64  G=1,2,4
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from pointnet2_tpu.config import Config
+from pointnet2_tpu.train.trainer import Trainer
+from pointnet2_tpu.utils.bench import slope_time
+
+
+def measure(cfg, B, accum, state_template=None):
+    trainer = Trainer(cfg=cfg, accum_steps=accum)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(rng.randint(1, 9, (B, cfg.num_point)), jnp.int32)
+    weights = jnp.ones((B, cfg.num_point), jnp.float32)
+    x = jnp.asarray(rng.randn(B, cfg.num_point, 6), jnp.float32)
+    drng = jax.random.PRNGKey(0)
+
+    def step(c):
+        batch = {"points": c, "labels": labels, "weights": weights}
+        new_state, metrics = trainer._train_step(state, batch, drng)
+        # keep the whole update live so nothing is DCE'd
+        psum = sum(jnp.sum(l) for l in jax.tree.leaves(new_state.params))
+        return psum + metrics["loss"]
+
+    k1 = 6 if B <= 32 else 4
+    return slope_time(step, x, K0=2, K1=k1)
+
+
+def main():
+    bs = [int(b) for b in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["16", "32", "64"])]
+    gs = [int(g) for g in (sys.argv[2].split(",") if len(sys.argv) > 2 else ["1", "2", "4"])]
+    cfg = Config()
+    print(f"train step (fwd+bwd+Adam+metrics), N={cfg.num_point}")
+    print(f"{'batch':>6} {'accum':>6} {'micro':>6} {'ms/step':>9} {'M pts/s':>9}")
+    for B in bs:
+        for g in gs:
+            if B % g:
+                continue
+            t = measure(cfg, B, g)
+            rate = B * cfg.num_point / t / 1e6
+            print(f"{B:>6} {g:>6} {B // g:>6} {t * 1e3:>9.1f} {rate:>9.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,13 @@ def main() -> None:
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--data_path", default=None)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--accum_steps",
+        type=int,
+        default=1,
+        help="split each batch into this many microbatches and accumulate "
+        "gradients (one optimizer update per batch; ghost-BN moments)",
+    )
     flags = parser.parse_args()
 
     import jax
@@ -84,7 +91,9 @@ def main() -> None:
     )
 
     mesh = create_mesh()
-    trainer = Trainer(cfg=cfg, num_classes=train_ds.num_classes)
+    trainer = Trainer(
+        cfg=cfg, num_classes=train_ds.num_classes, accum_steps=flags.accum_steps
+    )
     state = trainer.init_state(jax.random.PRNGKey(flags.seed or 0))
     if flags.resume:
         state = restore_checkpoint(os.path.abspath(flags.resume), state)
