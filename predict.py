@@ -33,6 +33,13 @@ def main() -> None:
     parser.add_argument("--config_file", default="semantic.json")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--output_dir", default=os.path.join("result", "sparse"))
+    parser.add_argument(
+        "--dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="inference compute dtype (bfloat16: production mode, ~99.6%% "
+        "label agreement with float32 — see PERFORMANCE.md)",
+    )
     flags = parser.parse_args()
 
     import jax
@@ -59,7 +66,9 @@ def main() -> None:
         path=cfg.data_path,
         seed=0,
     )
-    trainer = Trainer(cfg=cfg, num_classes=dataset.num_classes)
+    trainer = Trainer(
+        cfg=cfg, num_classes=dataset.num_classes, infer_dtype=flags.dtype
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
     print("Model restored")
