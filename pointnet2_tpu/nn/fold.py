@@ -64,7 +64,7 @@ def _fold_pair(p, s, lin_key, bn_key, kernel_key="kernel", bias_key="bias"):
     bn_s["var"] = jnp.full_like(bn_s["var"], 1.0 - _BN_EPSILON)
 
 
-def _recurse(p, s):
+def _recurse(p, s, folded):
     if not isinstance(p, dict):
         return
     for key in list(p.keys()):
@@ -79,9 +79,21 @@ def _recurse(p, s):
             bn_key = "fc1_bn"
         if bn_key is not None and isinstance(s, dict) and bn_key in s:
             _fold_pair(p, s, key, bn_key)
+            folded.add(id(s[bn_key]))
     for key, val in p.items():
         if isinstance(val, dict):
-            _recurse(val, s.get(key) if isinstance(s, dict) else None)
+            _recurse(val, s.get(key) if isinstance(s, dict) else None, folded)
+
+
+def _collect_bn_stat_nodes(s, path, out):
+    """Every dict holding mean/var leaves is a BatchNorm stats node."""
+    if not isinstance(s, dict):
+        return
+    if "mean" in s and "var" in s and not isinstance(s["mean"], dict):
+        out.append((path, s))
+        return
+    for k, v in s.items():
+        _collect_bn_stat_nodes(v, f"{path}/{k}", out)
 
 
 def fold_batch_norm(params, batch_stats):
@@ -91,8 +103,27 @@ def fold_batch_norm(params, batch_stats):
     the original (exact in real arithmetic; ~1-ulp f32 differences).
     Train-mode must NOT use folded trees (batch moments would be recomputed
     from the scaled activations).
+
+    Raises ValueError if any BatchNorm stats node was NOT matched by the
+    naming patterns above: a silently-unfolded BN would reintroduce the
+    amplified bf16 rounding this transform exists to prevent. Folding
+    assumes the default epsilon (asserted against nn.layers.BatchNorm).
     """
+    from pointnet2_tpu.nn.layers import BatchNorm
+
+    assert BatchNorm.epsilon == _BN_EPSILON, (
+        "nn.layers.BatchNorm default epsilon changed; update fold.py"
+    )
     p = _to_plain(unfreeze(params))
     s = _to_plain(unfreeze(batch_stats))
-    _recurse(p, s)
+    folded = set()
+    _recurse(p, s, folded)
+    nodes = []
+    _collect_bn_stat_nodes(s, "", nodes)
+    missed = [path for path, node in nodes if id(node) not in folded]
+    if missed:
+        raise ValueError(
+            "fold_batch_norm: BatchNorm stats not matched by any "
+            f"Dense+BN naming pattern (would stay unfolded): {missed}"
+        )
     return freeze(p), freeze(s)

@@ -113,6 +113,13 @@ class Trainer:
                 f"unknown infer_dtype {self.infer_dtype!r}, "
                 "expected 'float32'/'bfloat16'"
             )
+        if self.accum_steps < 1:
+            raise ValueError(f"accum_steps must be >= 1, got {self.accum_steps}")
+        if self.accum_steps > 1 and self.cfg.batch_size % self.accum_steps:
+            raise ValueError(
+                f"accum_steps={self.accum_steps} must divide "
+                f"cfg.batch_size={self.cfg.batch_size}"
+            )
         self.lr_schedule = learning_rate_schedule(self.cfg)
         self.bn_schedule = bn_momentum_schedule(self.cfg)
         if self.cfg.optimizer == "momentum":
@@ -153,7 +160,14 @@ class Trainer:
         """One optimizer step. batch: points (B,N,D), labels (B,N), weights (B,N)."""
         bn_momentum = self.bn_schedule(state.step)
         rng = jax.random.fold_in(dropout_rng, state.step)
-        if self.accum_steps > 1 and batch["points"].shape[0] % self.accum_steps == 0:
+        if self.accum_steps > 1:
+            if batch["points"].shape[0] % self.accum_steps:
+                raise ValueError(
+                    f"accum_steps={self.accum_steps} must divide the batch "
+                    f"size (got batch of {batch['points'].shape[0]}); the "
+                    "silent monolithic fallback would reintroduce the "
+                    "large-batch HBM working set (PERFORMANCE.md)"
+                )
             return self._train_step_accum(state, batch, rng, bn_momentum)
 
         def loss_fn(params):

@@ -267,15 +267,16 @@ class TestGradientAccumulation:
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first * 0.9, (first, last)
 
-    def test_non_divisible_falls_back_to_monolithic(self, rng):
-        acc = Trainer(cfg=TINY, accum_steps=3)  # 8 % 3 != 0
-        mono = Trainer(cfg=TINY, accum_steps=1)
-        batch = _synthetic_batch(rng, TINY, b=8)
+    def test_non_divisible_accum_is_rejected_loudly(self, rng):
+        # Misconfiguration must NOT silently fall back to the monolithic
+        # step (that would reintroduce the large-batch HBM working set).
+        with pytest.raises(ValueError, match="accum_steps"):
+            Trainer(cfg=TINY, accum_steps=3)  # 8 % 3 != 0 at construction
+        acc = Trainer(cfg=TINY, accum_steps=2)
+        batch = _synthetic_batch(rng, TINY, b=5)  # 5 % 2 != 0 at runtime
         s0 = acc.init_state(jax.random.PRNGKey(0))
-        s1 = mono.init_state(jax.random.PRNGKey(0))
-        _, ma = acc.train_step(s0, dict(batch), jax.random.PRNGKey(0))
-        _, mb = mono.train_step(s1, dict(batch), jax.random.PRNGKey(0))
-        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]))
+        with pytest.raises(ValueError, match="accum_steps"):
+            acc.train_step(s0, dict(batch), jax.random.PRNGKey(0))
 
     def test_sharded_matches_single_device(self, rng):
         mesh = create_mesh()

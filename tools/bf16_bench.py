@@ -54,9 +54,10 @@ def main():
     t0 = time.time()
     for i in range(steps):
         state, m = tr32.train_step(state, make_batch(cfg.batch_size), drng)
+    loss, acc = float(m["loss"]), float(m["accuracy"])  # sync before clock
     print(
         f"trained {steps} steps in {time.time() - t0:.0f}s, "
-        f"final loss {float(m['loss']):.4f} acc {float(m['accuracy']):.4f}"
+        f"final loss {loss:.4f} acc {acc:.4f}"
     )
 
     # accuracy delta on held-out batches

@@ -27,7 +27,7 @@ from pointnet2_tpu.train.trainer import Trainer
 from pointnet2_tpu.utils.bench import slope_time
 
 
-def measure(cfg, B, accum, state_template=None):
+def measure(cfg, B, accum):
     trainer = Trainer(cfg=cfg, accum_steps=accum)
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
