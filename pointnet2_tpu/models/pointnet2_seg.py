@@ -69,6 +69,9 @@ class PointNet2SemSeg(nn.Module):
                 mlp=mlp,
                 ops_impl=self.ops_impl,
                 pre_project=self.pre_project,
+                # SA1's inputs are the raw cloud (leaves): the grouping
+                # backward can skip its scatter-add (ops.project_group_leaf).
+                leaf_inputs=(i == 0),
                 compute_dtype=self.compute_dtype,
                 name=f"sa{i + 1}",
             )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)

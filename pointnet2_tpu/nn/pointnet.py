@@ -132,6 +132,13 @@ class SetAbstraction(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
     pre_project: bool = True
+    # True ONLY when (xyz, points) are leaf inputs that never need
+    # gradients (the raw input cloud feeding the first SA level): the
+    # pre-projected grouping then uses ops.project_group_leaf, whose
+    # backward replaces autodiff's dominant scatter-add with a narrow
+    # re-gather + matmul (see ops/core.py). Parameter gradients are
+    # identical; the input cloud's cotangent becomes zero.
+    leaf_inputs: bool = False
     ops_impl: Optional[str] = None
     # Computation dtype for the MLP/feature path (see SharedMLP.dtype).
     # Geometry (FPS / ball query / kNN) always runs in f32 — neighbor
@@ -185,8 +192,6 @@ class SetAbstraction(nn.Module):
         # O(radius) local offset — bf16-rounded operands lose most of the
         # difference (measured: logits off by ~50% when this ran in bf16).
         # The cast to compute_dtype happens after bn0 normalizes scale.
-        zp = inputs @ w + b  # (B, N, f0): layer-1 linear over ALL points
-
         fps_idx = ops.farthest_point_sample(xyz, self.npoint, impl=self.ops_impl)
         new_xyz = ops.gather_points(xyz, fps_idx)
         if self.use_knn:
@@ -196,7 +201,12 @@ class SetAbstraction(nn.Module):
                 xyz, new_xyz, self.radius, self.nsample, impl=self.ops_impl
             )
 
-        grouped = ops.group_points(zp, idx)  # (B, m, k, f0)
+        if self.leaf_inputs:
+            # Scatter-free backward (see ops.project_group_leaf).
+            grouped = ops.project_group_leaf(inputs, w, b, idx)
+        else:
+            zp = inputs @ w + b  # (B, N, f0): layer-1 linear over ALL points
+            grouped = ops.group_points(zp, idx)  # (B, m, k, f0)
         if self.use_xyz:
             zq = new_xyz @ w[:3]  # centers' xyz projection (no bias)
             grouped = grouped - zq[:, :, None, :]

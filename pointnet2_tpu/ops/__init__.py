@@ -21,6 +21,7 @@ from pointnet2_tpu.ops.core import (
     interpolation_weights,
     knn_xla,
     prob_sample,
+    project_group_leaf,
     select_top_k,
     selection_sort,
     three_interpolate as three_interpolate_xla,
@@ -41,6 +42,7 @@ __all__ = [
     "prob_sample",
     "ball_query",
     "group_points",
+    "project_group_leaf",
     "knn",
     "select_top_k",
     "selection_sort",

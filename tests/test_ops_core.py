@@ -236,3 +236,53 @@ class TestSelectionSort:
         idx_np, vals_np = selection_sort_np(dist, 3)
         np.testing.assert_array_equal(np.asarray(idx), idx_np)
         assert idx_np[0, 0, 0] == 1  # first of the tied minima
+
+
+class TestProjectGroupLeaf:
+    """Scatter-free project+group for leaf inputs (ops/core.py).
+
+    The backward must equal autodiff's scatter-add route for every
+    parameter gradient (grad_w = gather(inputs, idx)^T @ g identity),
+    while returning a zero cotangent for the leaf inputs by construction.
+    """
+
+    def _problem(self, rng):
+        B, N, M, K, cin, f0 = 2, 64, 16, 8, 6, 32
+        inputs = jnp.asarray(rng.randn(B, N, cin), jnp.float32)
+        w = jnp.asarray(rng.randn(cin, f0), jnp.float32)
+        b = jnp.asarray(rng.randn(f0), jnp.float32)
+        idx = jnp.asarray(rng.randint(0, N, (B, M, K)), np.int32)
+        cot = jnp.asarray(rng.randn(B, M, K, f0), jnp.float32)
+        return inputs, w, b, idx, cot
+
+    def test_forward_bit_identical(self, rng):
+        from pointnet2_tpu.ops import group_points, project_group_leaf
+
+        inputs, w, b, idx, _ = self._problem(rng)
+        plain = group_points(inputs @ w + b, idx)
+        leaf = project_group_leaf(inputs, w, b, idx)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(leaf))
+
+    def test_param_grads_match_autodiff_scatter(self, rng):
+        from pointnet2_tpu.ops import group_points, project_group_leaf
+
+        inputs, w, b, idx, cot = self._problem(rng)
+
+        def loss_plain(i_, w_, b_):
+            return jnp.vdot(group_points(i_ @ w_ + b_, idx), cot)
+
+        def loss_leaf(i_, w_, b_):
+            return jnp.vdot(project_group_leaf(i_, w_, b_, idx), cot)
+
+        gp = jax.grad(loss_plain, argnums=(0, 1, 2))(inputs, w, b)
+        gl = jax.grad(loss_leaf, argnums=(0, 1, 2))(inputs, w, b)
+        np.testing.assert_allclose(
+            np.asarray(gl[1]), np.asarray(gp[1]), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gl[2]), np.asarray(gp[2]), rtol=1e-5, atol=1e-5
+        )
+        # leaf contract: inputs' cotangent is exactly zero
+        assert np.all(np.asarray(gl[0]) == 0.0)
+        # ...whereas the plain route's is not (sanity that the test bites)
+        assert np.any(np.asarray(gp[0]) != 0.0)

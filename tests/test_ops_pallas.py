@@ -158,7 +158,10 @@ class TestThreeInterpolatePallas:
                 return jnp.sum(three_interpolate_pallas(p, idx, w) * cot)
 
         gp_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(points, weight)
-        gp_pal, gw_pal = jax.grad(f_pal, argnums=(0, 1))(points, weight)
+        # The context must cover the grad call: the backward is now a
+        # Pallas kernel too (W^T sparse matmul), traced when the vjp runs.
+        with pltpu.force_tpu_interpret_mode():
+            gp_pal, gw_pal = jax.grad(f_pal, argnums=(0, 1))(points, weight)
         np.testing.assert_allclose(np.asarray(gp_pal), np.asarray(gp_ref),
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw_pal), np.asarray(gw_ref),

@@ -96,3 +96,38 @@ def test_pre_projected_train_mode_runs(rng):
     )
     assert out.shape == (2, 16, 16)
     assert "bn0" in mutated["batch_stats"]
+
+
+def test_leaf_inputs_grads_match_scatter_route(rng):
+    """SetAbstraction(leaf_inputs=True) (SA1's scatter-free backward) gives
+    the same parameter gradients as the autodiff scatter-add route."""
+    xyz = jnp.asarray(rng.rand(2, 128, 3), jnp.float32)
+    feats = jnp.asarray(rng.rand(2, 128, 5), jnp.float32)
+
+    kw = dict(npoint=32, radius=0.4, nsample=8, mlp=[16, 32], pre_project=True)
+    plain = SetAbstraction(**kw)
+    leaf = SetAbstraction(leaf_inputs=True, **kw)
+    v = plain.init(jax.random.PRNGKey(0), xyz, feats, train=True, bn_momentum=0.9)
+
+    def loss(mod, params):
+        (_, out, _), _ = mod.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            xyz, feats, train=True, bn_momentum=0.9,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out * out)
+
+    gp = jax.grad(lambda p: loss(plain, p))(v["params"])
+    gl = jax.grad(lambda p: loss(leaf, p))(v["params"])
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_l = jax.tree_util.tree_leaves_with_path(gl)
+    assert len(flat_p) == len(flat_l)
+    for (kp, lp), (kl, ll) in zip(flat_p, flat_l):
+        assert kp == kl
+        # atol covers b0: train-mode BN cancels a constant bias shift, so
+        # its true gradient is ~0 and both routes return O(1e-4)
+        # summation-order noise around it.
+        np.testing.assert_allclose(
+            np.asarray(ll), np.asarray(lp), rtol=1e-4, atol=5e-4,
+            err_msg=str(kp),
+        )

@@ -92,6 +92,33 @@ def main() -> int:
         rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
         check(f"three_interpolate n={n} m={m} c={c} (rel {rel:.1e})", rel < 1e-5)
 
+    # ...and its backward kernel (d points = W^T @ g transpose sparse
+    # matmul) vs the exact NumPy scatter-add at the same FP shapes
+    import jax as _jax
+
+    for n, m, c in [(8192, 1024, 128), (1024, 256, 256), (64, 16, 512)]:
+        pts = rng.randn(2, m, c).astype(np.float32)
+        t2 = (rng.rand(2, n, 3) * 10).astype(np.float32)
+        s2 = (rng.rand(2, m, 3) * 10).astype(np.float32)
+        wd, wi = reference.three_nn_np(t2, s2)
+        ww = reference.interpolation_weights_np(wd).astype(np.float32)
+        cot = rng.randn(2, n, c).astype(np.float32)
+        gp = _jax.grad(
+            lambda p: jnp.vdot(
+                three_interpolate_pallas(p, jnp.asarray(wi), jnp.asarray(ww)),
+                jnp.asarray(cot),
+            )
+        )(jnp.asarray(pts))
+        want_g = np.zeros((2, m, c), np.float64)
+        for bb in range(2):
+            for q in range(n):
+                for j in range(3):
+                    want_g[bb, wi[bb, q, j]] += ww[bb, q, j] * cot[bb, q]
+        rel = np.abs(np.asarray(gp) - want_g).max() / max(
+            np.abs(want_g).max(), 1e-9
+        )
+        check(f"three_interpolate_bwd n={n} m={m} c={c} (rel {rel:.1e})", rel < 1e-4)
+
     # Non-128-multiple query counts (public-op shapes, padded kernel path)
     for n, m, r in [(300, 100, 0.5), (1000, 37, 1.0), (8192, 129, 0.5)]:
         xyz1 = (rng.rand(2, n, 3) * [10, 10, 5]).astype(np.float32)
