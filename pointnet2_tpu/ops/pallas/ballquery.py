@@ -25,6 +25,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pointnet2_tpu.ops.pallas import common
+
 from pointnet2_tpu.ops.pallas.common import block_min
 
 _LANES = 128
@@ -286,7 +288,7 @@ def ball_query_pallas(
             jax.ShapeDtypeStruct((b, 1, mpad), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((tm, _round_up(nsample, _LANES)), jnp.int32)],
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=common.cost_estimate(
             flops=2 * b * mpad * npad * 3 + b * mpad * npad * (nsample + 6),
             bytes_accessed=b * npad * 12 + b * mpad * 12 + b * mpad * nsample * 4,
             transcendentals=0,

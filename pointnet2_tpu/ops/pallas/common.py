@@ -3,8 +3,28 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
 
 LANES = 128
+
+
+def cost_estimate(flops, bytes_accessed, transcendentals=0):
+    """``pl.CostEstimate``, or None under shape-polymorphic tracing.
+
+    jax.export with a symbolic batch dimension makes the dim products
+    symbolic expressions; CostEstimate requires ints. The estimate only
+    tunes Mosaic's pipeline heuristics, so dropping it for polymorphic
+    exports is safe (the kernel still compiles and runs correctly).
+    """
+    vals = (flops, bytes_accessed, transcendentals)
+    if not all(isinstance(v, (int, np.integer)) for v in vals):
+        return None
+    return pl.CostEstimate(
+        flops=int(flops),
+        bytes_accessed=int(bytes_accessed),
+        transcendentals=int(transcendentals),
+    )
 
 
 def block_min(arr, width: int | None = None):

@@ -27,6 +27,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pointnet2_tpu.ops.pallas import common
+
 _LANES = 128
 _SUBLANES = 8
 
@@ -107,7 +109,7 @@ def farthest_point_sample_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((bpad, mpad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((_SUBLANES, npad), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=common.cost_estimate(
             flops=9 * bpad * npoint * npad,
             bytes_accessed=bpad * npad * 16,
             transcendentals=0,

@@ -17,10 +17,13 @@ ms of MXU work.
 Precision: "highest" (default) uses the MXU's f32 path (~1e-7 rel);
 "default" uses bf16 inputs like any default-precision matmul.
 
-Gradient (custom_vjp): d points = scatter-add of weight x g (exactly the
-reference's ThreeInterpolateGrad, tf_interpolate.cpp:395-421); d weight =
-per-query dot of g with the gathered rows (discarded by the model — the FP
-module stop_gradients the distances — but computed for API completeness).
+Gradient (custom_vjp): d points = W^T @ g via a second kernel that builds
+the transposed sparse tile the same way (the sums are exactly the
+reference's ThreeInterpolateGrad, tf_interpolate.cpp:395-421, reassociated
+onto the MXU — autodiff's scatter-add route measured 2.6 ms at the FP4
+train shape, the kernel replaces it with MXU work); d weight = per-query
+dot of g with the gathered rows (discarded by the model — the FP module
+stop_gradients the distances — and then DCE'd by XLA).
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from pointnet2_tpu.ops.pallas import common
 
 _LANES = 128
 
@@ -94,7 +99,7 @@ def _ti_fwd(points, idx, weight, prec: str, tr: int):
             (1, tr, cpad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, npad, cpad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=common.cost_estimate(
             flops=mxu_factor * 2 * b * npad * mpad * cpad + 9 * b * npad * mpad,
             bytes_accessed=b * (mpad * cpad * 4 + npad * 24 + npad * cpad * 4),
             transcendentals=0,
@@ -170,7 +175,7 @@ def _ti_bwd(g, idx, weight, m: int, prec: str, tm: int):
             (1, tm, cpad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, mpad, cpad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=common.cost_estimate(
             flops=mxu_factor * 2 * b * mpad * npad * cpad + 9 * b * mpad * npad,
             bytes_accessed=b * (npad * cpad * 4 + npad * 24 + mpad * cpad * 4),
             transcendentals=0,

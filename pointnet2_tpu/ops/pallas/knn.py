@@ -25,6 +25,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pointnet2_tpu.ops.pallas import common
+
 from pointnet2_tpu.ops.pallas.common import block_min
 
 _LANES = 128
@@ -111,7 +113,7 @@ def knn_pallas(
             jax.ShapeDtypeStruct((b, nq_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((b, nq_pad, k), jnp.int32),
         ),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=common.cost_estimate(
             flops=b * nq_pad * mpad * (8 + 3 * k),
             bytes_accessed=b * (mpad * 12 + nq_pad * 12 + nq_pad * k * 8),
             transcendentals=0,
