@@ -40,6 +40,13 @@ def main() -> None:
         help="inference compute dtype (bfloat16: production mode, ~99.6%% "
         "label agreement with float32 — see PERFORMANCE.md)",
     )
+    parser.add_argument(
+        "--sharded",
+        action="store_true",
+        help="batch-parallel inference over ALL visible devices (1-D ICI "
+        "mesh; batch_size must divide by the device count). The forward "
+        "is sharded by XLA SPMD — params replicated, batch split.",
+    )
     flags = parser.parse_args()
 
     import jax
@@ -66,12 +73,34 @@ def main() -> None:
         path=cfg.data_path,
         seed=0,
     )
+    mesh = None
+    if flags.sharded:
+        from pointnet2_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        if flags.batch_size % len(mesh.devices.flat):
+            parser.error(
+                f"--sharded: batch_size {flags.batch_size} must divide by "
+                f"the device count {len(mesh.devices.flat)}"
+            )
+
     trainer = Trainer(
-        cfg=cfg, num_classes=dataset.num_classes, infer_dtype=flags.dtype
+        cfg=cfg,
+        num_classes=dataset.num_classes,
+        infer_dtype=flags.dtype,
+        # Sharded mode: each device already holds only batch/n rows, so
+        # the HBM-locality chunk loop would just serialize the devices.
+        infer_chunk=0 if flags.sharded else 8,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
-    print("Model restored")
+    if mesh is not None:
+        from pointnet2_tpu.parallel import replicated_sharding
+
+        state = jax.device_put(state, replicated_sharding(mesh))
+        print(f"Model restored (sharded over {len(mesh.devices.flat)} devices)")
+    else:
+        print("Model restored")
 
     batch_size = flags.batch_size
     cm = ConfusionMatrix(dataset.num_classes)
@@ -95,8 +124,13 @@ def main() -> None:
             if pad:
                 inputs = np.concatenate([inputs, np.zeros((pad,) + inputs.shape[1:])])
             s = time.time()
+            device_inputs = inputs.astype(np.float32)
+            if mesh is not None:
+                from pointnet2_tpu.parallel import shard_batch
+
+                device_inputs = shard_batch(device_inputs, mesh)
             pred = np.asarray(
-                trainer.predict_step(state, inputs.astype(np.float32))
+                trainer.predict_step(state, device_inputs)
             )[:current]
             print(f"Batch size: {current}, time: {time.time() - s}")
 

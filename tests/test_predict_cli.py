@@ -145,3 +145,56 @@ def test_predict_then_interpolate_cli(rng, tmp_path, monkeypatch):
         assert len(dense_labels) == len(gt)  # one label per dense point
         colored = read_pcd(dense_dir / f"{prefix}_colored.pcd")
         assert len(colored) == len(gt) and colored.colors is not None
+
+
+def test_predict_cli_sharded_matches_single_device(rng, tmp_path, monkeypatch):
+    """--sharded (batch-parallel over the 8-device virtual mesh) writes the
+    same labels as the single-device run (modulo argmax near-ties at SPMD
+    reduction-order noise)."""
+    data_dir = tmp_path / "scenes"
+    data_dir.mkdir()
+    _fabricate_validation_scenes(data_dir, rng, n=5_000)
+
+    cfg = Config(
+        num_point=512,
+        batch_size=8,
+        data_path=str(data_dir),
+        l1_npoint=128,
+        l2_npoint=64,
+        l3_npoint=16,
+        l4_npoint=8,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.to_json(cfg_path)
+
+    trainer = Trainer(cfg=cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state)
+
+    import predict
+
+    outs = {}
+    for mode, extra in (("single", []), ("sharded", ["--sharded"])):
+        out_dir = tmp_path / f"sparse_{mode}"
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "predict.py",
+                "--ckpt", str(ckpt),
+                "--set", "validation",
+                "--config_file", str(cfg_path),
+                "--num_samples", "8",
+                "--batch_size", "8",
+                "--output_dir", str(out_dir),
+            ] + extra,
+        )
+        predict.main()
+        outs[mode] = np.concatenate([
+            load_labels(out_dir / f"{p}.labels")
+            for p in validation_file_prefixes
+        ])
+
+    agreement = (outs["single"] == outs["sharded"]).mean()
+    assert agreement >= 0.995, agreement

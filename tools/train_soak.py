@@ -48,6 +48,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--out", default="log/soak")
     ap.add_argument("--points_per_scene", type=int, default=80_000)
+    ap.add_argument("--accum_steps", type=int, default=1)
     args = ap.parse_args()
 
     from pointnet2_tpu.config import Config
@@ -82,7 +83,8 @@ def main():
     cfg_path = os.path.join(data_dir, "soak.json")
     cfg.to_json(cfg_path)
 
-    sys.argv = ["train.py", "--config_file", cfg_path, "--seed", "0"]
+    sys.argv = ["train.py", "--config_file", cfg_path, "--seed", "0",
+                "--accum_steps", str(args.accum_steps)]
     import train
 
     train.main()
