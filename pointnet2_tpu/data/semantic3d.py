@@ -18,6 +18,7 @@ from typing import Optional
 import numpy as np
 
 from pointnet2_tpu.data.io import load_labels, read_pcd
+from pointnet2_tpu.data.rng import ThreadLocalRNG, resolve_rng
 
 train_file_prefixes = [
     "bildstein_station1_xyz_intensity_rgb",
@@ -93,12 +94,12 @@ class SemanticFileData:
         use_color: bool,
         box_size_x: float,
         box_size_y: float,
-        rng: Optional[np.random.RandomState] = None,
+        rng: "Optional[np.random.RandomState] | ThreadLocalRNG" = None,
     ):
         self.file_path_without_ext = file_path_without_ext
         self.box_size_x = box_size_x
         self.box_size_y = box_size_y
-        self.rng = rng or np.random.RandomState()
+        self._rng = rng if rng is not None else np.random.RandomState()
 
         cloud = read_pcd(file_path_without_ext + ".pcd")
         self.points = np.asarray(cloud.points)
@@ -118,6 +119,15 @@ class SemanticFileData:
         self.points = self.points[sort_idx]
         self.labels = self.labels[sort_idx]
         self.colors = self.colors[sort_idx]
+
+    @property
+    def rng(self) -> np.random.RandomState:
+        """The calling thread's RandomState (see data/rng.py for the contract)."""
+        return resolve_rng(self._rng)
+
+    @rng.setter
+    def rng(self, value) -> None:
+        self._rng = value
 
     # -- sampling helpers -------------------------------------------------
 
@@ -214,7 +224,12 @@ class SemanticDataset:
         self.num_classes = NUM_CLASSES
         self.path = path
         self.labels_names = list(LABEL_NAMES)
-        self.rng = np.random.RandomState(seed)
+        # One RandomState PER SAMPLING THREAD, spawned from one SeedSequence:
+        # the BatchProducer's worker threads each draw from their own stream
+        # (RandomState is not thread-safe; the reference re-seeded per worker
+        # process instead, train.py:123). With a fixed seed and one sampling
+        # thread, the batch stream is bit-reproducible (data/rng.py).
+        self._rng = ThreadLocalRNG(seed)
 
         file_prefixes = map_name_to_file_prefixes[split]
         self.list_file_data = [
@@ -224,7 +239,7 @@ class SemanticDataset:
                 use_color=use_color,
                 box_size_x=box_size_x,
                 box_size_y=box_size_y,
-                rng=self.rng,
+                rng=self._rng,
             )
             for p in file_prefixes
         ]
@@ -241,6 +256,15 @@ class SemanticDataset:
             self.label_weights = (1.0 / np.log(1.2 + freq)).astype(np.float32)
         else:
             self.label_weights = np.zeros(NUM_CLASSES, np.float32)
+
+    @property
+    def rng(self) -> np.random.RandomState:
+        """The calling thread's RandomState (see data/rng.py for the contract)."""
+        return resolve_rng(self._rng)
+
+    @rng.setter
+    def rng(self, value) -> None:
+        self._rng = value
 
     def sample_in_all_files(self, is_training: bool):
         scene_index = self.rng.choice(len(self.list_file_data), p=self.scene_probas)

@@ -108,6 +108,23 @@ def main() -> None:
         data, labels, weights = batch_tuple
         return {"points": data, "labels": labels, "weights": weights}
 
+    num_train_batches = train_ds.get_num_batches(cfg.batch_size)
+    num_val_batches = val_ds.get_num_batches(cfg.batch_size)
+    logger.log(
+        f"train batches/epoch: {num_train_batches}, val batches: {num_val_batches}"
+    )
+    if num_train_batches == 0:
+        # Without this guard the epoch loop runs zero batches and the metric
+        # logging dereferences an unbound `metrics` (a real NameError bug).
+        raise ValueError(
+            f"train split '{flags.train_set}' has {train_ds.get_total_num_points()}"
+            f" points across {len(train_ds.list_file_data)} scenes — that is 0"
+            f" batches of batch_size={cfg.batch_size} x num_point={cfg.num_point};"
+            " reduce batch_size/num_point or provide more data"
+        )
+    if num_val_batches == 0:
+        logger.log("validation split yields 0 batches; skipping eval epochs")
+
     train_producer = BatchProducer(
         lambda: to_named(train_ds.sample_batch_in_all_files(cfg.batch_size, True)),
         max_queue=16,
@@ -125,12 +142,6 @@ def main() -> None:
     sharding = batch_sharding(mesh)
     train_iter = device_prefetch(train_producer, sharding=sharding, depth=2)
     val_iter = device_prefetch(val_producer, sharding=sharding, depth=2)
-
-    num_train_batches = train_ds.get_num_batches(cfg.batch_size)
-    num_val_batches = val_ds.get_num_batches(cfg.batch_size)
-    logger.log(
-        f"train batches/epoch: {num_train_batches}, val batches: {num_val_batches}"
-    )
 
     best_acc = 0.0
     try:
@@ -176,7 +187,7 @@ def main() -> None:
                 logger.log(f"IoU of {train_ds.labels_names[c]} : {ious[c]:f}")
 
             acc = best_acc
-            if epoch % 5 == 0:
+            if epoch % 5 == 0 and num_val_batches > 0:
                 vcm = ConfusionMatrix(val_ds.num_classes)
                 dev_vcm = None
                 vlosses = []
