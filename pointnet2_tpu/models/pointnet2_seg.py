@@ -48,6 +48,14 @@ class PointNet2SemSeg(nn.Module):
     # query, 3-NN) always run f32, so neighbor structure is bit-identical;
     # only MLP activations and the interpolation matmul change precision.
     compute_dtype: Optional[Any] = None
+    # True (default): treat the input point cloud as a GRADIENT LEAF — SA1
+    # uses ops.project_group_leaf, whose scatter-free backward returns an
+    # exactly-ZERO cotangent for `point_cloud` (parameter gradients are
+    # identical; it's the fastest train path). Set False whenever the input
+    # cloud itself needs gradients — saliency maps, adversarial
+    # perturbation, input optimization — to route SA1 through the plain
+    # project+group chain with the full autodiff backward.
+    input_is_leaf: bool = True
 
     @nn.compact
     def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
@@ -71,7 +79,8 @@ class PointNet2SemSeg(nn.Module):
                 pre_project=self.pre_project,
                 # SA1's inputs are the raw cloud (leaves): the grouping
                 # backward can skip its scatter-add (ops.project_group_leaf).
-                leaf_inputs=(i == 0),
+                # input_is_leaf=False opts out for input-gradient callers.
+                leaf_inputs=(i == 0) and self.input_is_leaf,
                 compute_dtype=self.compute_dtype,
                 name=f"sa{i + 1}",
             )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)

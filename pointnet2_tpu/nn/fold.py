@@ -45,11 +45,11 @@ def _to_plain(tree):
     return tree
 
 
-def _fold_pair(p, s, lin_key, bn_key, kernel_key="kernel", bias_key="bias"):
+def _fold_pair(p, s, lin_key, bn_key, epsilon, kernel_key="kernel", bias_key="bias"):
     bn_p = p[bn_key]
     bn_s = s[bn_key]
     # same formula as BatchNorm.__call__ (nn/layers.py): rsqrt(var+eps)*scale
-    t = lax.rsqrt(bn_s["var"] + _BN_EPSILON) * bn_p["scale"]
+    t = lax.rsqrt(bn_s["var"] + epsilon) * bn_p["scale"]
     if lin_key == "w0":  # bare params on the SA module itself
         p["w0"] = p["w0"] * t
         p["b0"] = (p["b0"] - bn_s["mean"]) * t + bn_p["bias"]
@@ -61,10 +61,10 @@ def _fold_pair(p, s, lin_key, bn_key, kernel_key="kernel", bias_key="bias"):
     bn_p["bias"] = jnp.zeros_like(bn_p["bias"])
     bn_s["mean"] = jnp.zeros_like(bn_s["mean"])
     # var + eps == 1.0 exactly -> rsqrt == 1.0 exactly -> identity BN.
-    bn_s["var"] = jnp.full_like(bn_s["var"], 1.0 - _BN_EPSILON)
+    bn_s["var"] = jnp.full_like(bn_s["var"], 1.0 - epsilon)
 
 
-def _recurse(p, s, folded):
+def _recurse(p, s, folded, epsilon):
     if not isinstance(p, dict):
         return
     for key in list(p.keys()):
@@ -78,11 +78,11 @@ def _recurse(p, s, folded):
         elif key == "fc1" and "fc1_bn" in p:
             bn_key = "fc1_bn"
         if bn_key is not None and isinstance(s, dict) and bn_key in s:
-            _fold_pair(p, s, key, bn_key)
+            _fold_pair(p, s, key, bn_key, epsilon)
             folded.add(id(s[bn_key]))
     for key, val in p.items():
         if isinstance(val, dict):
-            _recurse(val, s.get(key) if isinstance(s, dict) else None, folded)
+            _recurse(val, s.get(key) if isinstance(s, dict) else None, folded, epsilon)
 
 
 def _collect_bn_stat_nodes(s, path, out):
@@ -96,7 +96,7 @@ def _collect_bn_stat_nodes(s, path, out):
         _collect_bn_stat_nodes(v, f"{path}/{k}", out)
 
 
-def fold_batch_norm(params, batch_stats):
+def fold_batch_norm(params, batch_stats, epsilon: float = _BN_EPSILON):
     """(params, batch_stats) -> (folded params, identity batch_stats).
 
     Eval-mode forward with the folded trees is mathematically identical to
@@ -106,18 +106,23 @@ def fold_batch_norm(params, batch_stats):
 
     Raises ValueError if any BatchNorm stats node was NOT matched by the
     naming patterns above: a silently-unfolded BN would reintroduce the
-    amplified bf16 rounding this transform exists to prevent. Folding
-    assumes the default epsilon (asserted against nn.layers.BatchNorm).
+    amplified bf16 rounding this transform exists to prevent.
+
+    ``epsilon`` must equal the epsilon of EVERY BatchNorm instance in the
+    model (epsilon is a module attribute, invisible in the param trees, so
+    it cannot be checked here). The flagship models never override it; a
+    caller that does must pass its value — folding with the wrong epsilon
+    silently perturbs every folded layer by O(delta_eps/var).
     """
     from pointnet2_tpu.nn.layers import BatchNorm
 
-    assert BatchNorm.epsilon == _BN_EPSILON, (
+    assert epsilon != _BN_EPSILON or BatchNorm.epsilon == _BN_EPSILON, (
         "nn.layers.BatchNorm default epsilon changed; update fold.py"
     )
     p = _to_plain(unfreeze(params))
     s = _to_plain(unfreeze(batch_stats))
     folded = set()
-    _recurse(p, s, folded)
+    _recurse(p, s, folded, epsilon)
     nodes = []
     _collect_bn_stat_nodes(s, "", nodes)
     missed = [path for path, node in nodes if id(node) not in folded]

@@ -274,7 +274,25 @@ def interpolation_weights(dist2: Array) -> Array:
     return inv / jnp.sum(inv, axis=-1, keepdims=True)
 
 
-def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
-    """points: (B, M, C), idx/weight: (B, N, 3) -> (B, N, C)."""
+def three_interpolate(
+    points: Array, idx: Array, weight: Array, precision: str | None = None
+) -> Array:
+    """points: (B, M, C), idx/weight: (B, N, 3) -> (B, N, C).
+
+    ``precision`` mirrors the Pallas MXU path's contract (ops/__init__.py):
+    None/"highest" accumulates the weighted sum in f32 regardless of the
+    points dtype (so bf16-mode results agree with the Pallas highest path
+    beyond rounding); "default" keeps the points dtype (bf16 math in bf16
+    mode, like the Pallas bf16-MXU path).
+    """
     gathered = group_points(points, idx)  # (B, N, 3, C)
+    if precision in (None, "highest") and points.dtype == jnp.bfloat16:
+        # bf16 points + highest precision: accumulate in f32 (only UPcast —
+        # f32/f64 inputs keep their native dtype, so the f64 gradient
+        # goldens and the f32 parity path are untouched).
+        out = jnp.sum(
+            gathered.astype(jnp.float32) * weight[..., None].astype(jnp.float32),
+            axis=2,
+        )
+        return out.astype(points.dtype)
     return jnp.sum(gathered * weight[..., None].astype(points.dtype), axis=2)

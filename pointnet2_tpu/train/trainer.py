@@ -96,6 +96,15 @@ class Trainer:
     # in bf16; geometry ops and logits stay f32; same f32 checkpoints).
     # Training always runs f32. Accuracy delta measured in PERFORMANCE.md.
     infer_dtype: str = "float32"
+    # With accum_steps=G the BN EMA advances G times per optimizer step, so
+    # the effective per-step decay is momentum**G — faster moving-stat
+    # adaptation than the reference's bn_decay calibration as G grows.
+    # True rescales the per-microbatch coefficient to momentum**(1/G) so
+    # the per-OPTIMIZER-STEP decay matches the schedule exactly (for equal
+    # microbatch moments the stats match the monolithic step bit-for-bit).
+    # Default False keeps the documented ghost-BN semantics that round-2
+    # soaks and the accumulation oracle test pin down.
+    bn_accum_rescale: bool = False
 
     def __post_init__(self):
         self.model = PointNet2SemSeg(
@@ -218,6 +227,9 @@ class Trainer:
         g = self.accum_steps
         b, n = batch["labels"].shape
         micro = b // g
+        if self.bn_accum_rescale:
+            # momentum**(1/G) per microbatch => momentum per optimizer step.
+            bn_momentum = jnp.power(bn_momentum, 1.0 / g)
 
         def to_micro(x):
             # sample i -> (microbatch i % g, slot i // g): strided split.

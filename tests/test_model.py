@@ -167,6 +167,38 @@ class TestModel:
         )
         assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 0
 
+    def test_input_is_leaf_flag_controls_input_gradients(self, rng):
+        """input_is_leaf=False restores TRUE input-cloud gradients (saliency /
+        adversarial use) with identical logits; the fast default drops SA1's
+        grouping contribution (documented wrong-input-grad tradeoff)."""
+        x = jnp.asarray(rng.rand(1, SMALL.num_point, 6), jnp.float32)
+        fast = PointNet2SemSeg(num_classes=9, use_color=True, config=SMALL)
+        full = PointNet2SemSeg(
+            num_classes=9, use_color=True, config=SMALL, input_is_leaf=False
+        )
+        variables = _init(fast, x)
+
+        def loss(model, pts):
+            return jnp.sum(model.apply(variables, pts, train=False, bn_momentum=0.9))
+
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(variables, x, train=False, bn_momentum=0.9)),
+            np.asarray(full.apply(variables, x, train=False, bn_momentum=0.9)),
+            atol=1e-5,
+        )
+        g_fast = jax.grad(lambda p: loss(fast, p))(x)
+        g_full = jax.grad(lambda p: loss(full, p))(x)
+        # The full path's gradient is the truth: forward-mode JVP (which
+        # cannot involve the custom_vjp shortcut) must agree with it along a
+        # random direction.
+        v = jnp.asarray(rng.randn(*x.shape), jnp.float32)
+        _, jvp_val = jax.jvp(lambda p: loss(full, p), (x,), (v,))
+        dir_full = float(jnp.vdot(g_full, v))
+        assert float(jvp_val) == pytest.approx(dir_full, rel=1e-3)
+        # The leaf shortcut measurably drops SA1's grouping term.
+        dir_fast = float(jnp.vdot(g_fast, v))
+        assert abs(dir_fast - dir_full) > 1e-6 * max(abs(dir_full), 1.0)
+
     def test_param_count_matches_reference_architecture(self, rng):
         # Channel plan is fixed by SA_MLPS/FP_MLPS; independent of npoint.
         x = jnp.asarray(rng.rand(1, SMALL.num_point, 6), jnp.float32)
