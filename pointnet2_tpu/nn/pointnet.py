@@ -46,8 +46,7 @@ def sample_and_group(
     grouped_xyz) with shapes (B,npoint,3), (B,npoint,nsample,3+C),
     (B,npoint,nsample), (B,npoint,nsample,3).
     """
-    fps_idx = ops.farthest_point_sample(xyz, npoint, impl=impl)
-    new_xyz = ops.gather_points(xyz, fps_idx)
+    fps_idx, new_xyz = ops.fps_centroids(xyz, npoint, impl=impl)
     if use_knn:
         _, idx = ops.knn(xyz, new_xyz, nsample, impl=impl)
     else:
@@ -192,8 +191,7 @@ class SetAbstraction(nn.Module):
         # O(radius) local offset — bf16-rounded operands lose most of the
         # difference (measured: logits off by ~50% when this ran in bf16).
         # The cast to compute_dtype happens after bn0 normalizes scale.
-        fps_idx = ops.farthest_point_sample(xyz, self.npoint, impl=self.ops_impl)
-        new_xyz = ops.gather_points(xyz, fps_idx)
+        fps_idx, new_xyz = ops.fps_centroids(xyz, self.npoint, impl=self.ops_impl)
         if self.use_knn:
             _, idx = ops.knn(xyz, new_xyz, self.nsample, impl=self.ops_impl)
         else:
@@ -201,15 +199,39 @@ class SetAbstraction(nn.Module):
                 xyz, new_xyz, self.radius, self.nsample, impl=self.ops_impl
             )
 
-        if self.leaf_inputs:
-            # Scatter-free backward (see ops.project_group_leaf).
-            grouped = ops.project_group_leaf(inputs, w, b, idx)
+        if self.leaf_inputs and train:
+            # TRAIN, leaf inputs: gather the RAW channels (the reference's
+            # own layout, util/pointnet_util.py:18-60) and project after.
+            # Autodiff then needs NO scatter (the input cotangent is pruned
+            # — inputs are leaves) and NO re-gather (grad_w contracts the
+            # grouped residual stored by the forward). This deletes the two
+            # SA1 backward hotspots at once: project_group_leaf's 6-ch
+            # re-gather (4.3 ms at batch 16) AND the forward's f0-wide zp
+            # gather (3.0 ms), for one cin-wide raw gather (~3.7 ms).
+            # Mathematically identical to the pre-projected form up to f32
+            # reassociation: (x - c) @ w_xyz == x @ w_xyz - c @ w_xyz.
+            grouped_in = ops.group_points(inputs, idx)  # (B, m, k, cin)
+            if self.use_xyz:
+                grouped_in = jnp.concatenate(
+                    [
+                        grouped_in[..., :3] - new_xyz[:, :, None, :],
+                        grouped_in[..., 3:],
+                    ],
+                    axis=-1,
+                )
+            grouped = grouped_in @ w + b
         else:
-            zp = inputs @ w + b  # (B, N, f0): layer-1 linear over ALL points
-            grouped = ops.group_points(zp, idx)  # (B, m, k, f0)
-        if self.use_xyz:
-            zq = new_xyz @ w[:3]  # centers' xyz projection (no bias)
-            grouped = grouped - zq[:, :, None, :]
+            if self.leaf_inputs:
+                # EVAL, leaf inputs: pre-projected gather (f0-wide rows
+                # measure faster than cin-wide on this chip; no backward
+                # exists to pay for). project_group_leaf == project+group.
+                grouped = ops.project_group_leaf(inputs, w, b, idx)
+            else:
+                zp = inputs @ w + b  # (B, N, f0): layer-1 linear, ALL points
+                grouped = ops.group_points(zp, idx)  # (B, m, k, f0)
+            if self.use_xyz:
+                zq = new_xyz @ w[:3]  # centers' xyz projection (no bias)
+                grouped = grouped - zq[:, :, None, :]
         h = grouped
         if self.use_bn:
             h = BatchNorm(name="bn0")(h, train=train, momentum=bn_momentum)
@@ -254,8 +276,7 @@ class SetAbstractionMSG(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, points, *, train: bool, bn_momentum):
-        fps_idx = ops.farthest_point_sample(xyz, self.npoint, impl=self.ops_impl)
-        new_xyz = ops.gather_points(xyz, fps_idx)
+        fps_idx, new_xyz = ops.fps_centroids(xyz, self.npoint, impl=self.ops_impl)
         scale_feats = []
         for i, (radius, nsample) in enumerate(
             zip(self.radius_list, self.nsample_list)

@@ -31,6 +31,7 @@ from pointnet2_tpu.ops.pallas import (
     ball_query_pallas,
     ball_query_windowed,
     farthest_point_sample_pallas,
+    fps_centroids_pallas_diff,
     knn_pallas,
     three_interpolate_pallas,
     three_nn_pallas,
@@ -38,6 +39,7 @@ from pointnet2_tpu.ops.pallas import (
 
 __all__ = [
     "farthest_point_sample",
+    "fps_centroids",
     "gather_points",
     "prob_sample",
     "ball_query",
@@ -67,6 +69,22 @@ def farthest_point_sample(xyz, npoint: int, impl: str | None = None):
     if _use_pallas(impl):
         return farthest_point_sample_pallas(xyz, npoint)
     return farthest_point_sample_xla(xyz, npoint)
+
+
+def fps_centroids(xyz, npoint: int, impl: str | None = None):
+    """FPS indices AND centroid coordinates in one op.
+
+    (B, N, 3) -> ((B, npoint) int32, (B, npoint, 3)). On TPU the centroids
+    are emitted by the FPS kernel itself (they ride the selection sweep for
+    free), eliminating the follow-up ``gather_points(xyz, idx)`` — an
+    addressing-bound row gather — from every SA level. Values and the VJP
+    (scatter-add of the centroid cotangent, tf_ops/tf_sampling.py:54-58)
+    are identical to ``gather_points(xyz, farthest_point_sample(xyz))``.
+    """
+    if _use_pallas(impl):
+        return fps_centroids_pallas_diff(xyz, npoint)
+    idx = farthest_point_sample_xla(xyz, npoint)
+    return idx, gather_points(xyz, idx)
 
 
 def ball_query(xyz1, xyz2, radius: float, nsample: int, impl: str | None = None):
@@ -108,10 +126,11 @@ def three_interpolate(
     intermediate never materializes; ~1e-7 rel vs the gather formulation);
     impl="xla" keeps the exact gather + weighted-sum path.
 
-    ``precision`` applies to the MXU formulation: "highest" (default, f32
-    passes) or "default" (bf16 MXU inputs, ~2x the rate — the production
-    bf16 inference mode). The XLA gather path is unaffected.
+    ``precision`` is honored on BOTH paths: "highest" (default) keeps the
+    accumulation in f32 even for bf16 points (Pallas: f32 MXU passes; XLA:
+    f32 gather + weighted sum), "default" runs in the points dtype (Pallas:
+    bf16 MXU inputs, ~2x the rate — the production bf16 inference mode).
     """
     if _use_pallas(impl):
         return three_interpolate_pallas(points, idx, weight, precision or "highest")
-    return three_interpolate_xla(points, idx, weight)
+    return three_interpolate_xla(points, idx, weight, precision)

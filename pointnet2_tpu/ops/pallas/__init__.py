@@ -5,13 +5,19 @@ Each kernel has identical semantics to its XLA counterpart in
 oracles in ``pointnet2_tpu.ops.reference``).
 """
 
-from pointnet2_tpu.ops.pallas.fps import farthest_point_sample_pallas
+from pointnet2_tpu.ops.pallas.fps import (
+    farthest_point_sample_pallas,
+    fps_centroids_pallas,
+    fps_centroids_pallas_diff,
+)
 from pointnet2_tpu.ops.pallas.ballquery import ball_query_pallas, ball_query_windowed
 from pointnet2_tpu.ops.pallas.interpolate import three_interpolate_pallas
 from pointnet2_tpu.ops.pallas.knn import knn_pallas, three_nn_pallas
 
 __all__ = [
     "farthest_point_sample_pallas",
+    "fps_centroids_pallas",
+    "fps_centroids_pallas_diff",
     "ball_query_pallas",
     "ball_query_windowed",
     "knn_pallas",

@@ -241,19 +241,26 @@ def ball_query_windowed(
     return jax.lax.cond(fits, windowed, full, operand=None)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def ball_query_pallas(
-    xyz1: jax.Array, xyz2: jax.Array, radius: float, nsample: int
+    xyz1: jax.Array,
+    xyz2: jax.Array,
+    radius: float,
+    nsample: int,
+    tm: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """xyz1: (B, N, 3) dataset, xyz2: (B, M, 3) queries.
 
     Returns idx (B, M, nsample) int32, cnt (B, M) int32. Matches
     ball_query_xla / ball_query_np bit-for-bit.
+
+    tm: query rows per grid program (tile height). The (tm, Npad) distance
+    tile lives in VMEM; larger tiles amortize per-program overhead.
     """
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
     npad = _round_up(n, _LANES)
-    tm = min(_LANES, m)
+    tm = min(tm or _LANES, m)
 
     x1 = jnp.transpose(xyz1.astype(jnp.float32), (0, 2, 1))
     if npad != n:

@@ -77,16 +77,19 @@ def knn_pallas(
     xyz1: (B, M, 3) dataset, xyz2: (B, Nq, 3) queries.
     Returns (dist2 (B, Nq, k) ascending, idx (B, Nq, k)). Matches knn_xla.
 
-    tq: query-tile rows per grid program. Large tiles amortize per-program
-    launch overhead; bounded by VMEM for the (tq, Mpad) distance tile.
+    tq: query-tile rows per grid program. SMALL tiles win (measured,
+    tools/tile_probe.py round 3): at the FP4 shape tq=128 runs 5.96 ms vs
+    10.24 ms for the old ~2MB heuristic's tq=512 at B=64, and 0.47 vs
+    0.82 ms at the model's chunk-8 regime — more grid steps give Mosaic a
+    deeper input-DMA/compute pipeline, and per-program launch overhead is
+    negligible against the (tq, Mpad) sweep. Smaller FP shapes measure at
+    noise level either way.
     """
     b, m, _ = xyz1.shape
     nq = xyz2.shape[1]
     mpad = _round_up(m, _LANES)
     if tq is None:
-        # Keep the f32 distance tile near ~2MB (tq * mpad * 4 bytes).
-        tq = ((512 * 1024 // mpad) // _LANES) * _LANES
-        tq = max(_LANES, min(2048, tq))
+        tq = _LANES
     tq = min(tq, _round_up(nq, _LANES))
 
     refs = jnp.transpose(xyz1.astype(jnp.float32), (0, 2, 1))  # (B, 3, M)

@@ -35,6 +35,45 @@ def test_ball_query_pallas_matches_numpy(rng, b, n, m, radius, nsample):
     np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
 
 
+@pytest.mark.parametrize("b,n,m", [(2, 128, 16), (1, 200, 32), (3, 64, 64), (2, 300, 100)])
+def test_fps_fused_centroids_match_numpy(rng, b, n, m):
+    """Round-3 fused kernel: FPS indices bit-identical to the oracle AND the
+    emitted centroids exactly equal to the gathered rows."""
+    from pointnet2_tpu.ops.pallas import fps_centroids_pallas
+
+    xyz = _cloud(rng, b, n)
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_xyz = fps_centroids_pallas(xyz, m)
+    want = reference.farthest_point_sample_np(xyz, m)
+    np.testing.assert_array_equal(np.asarray(got_idx), want)
+    np.testing.assert_array_equal(
+        np.asarray(got_xyz), np.take_along_axis(xyz, want[..., None], axis=1)
+    )
+
+
+def test_fps_centroids_diff_vjp_matches_gather(rng):
+    """The fused op's custom VJP == gather's VJP (scatter-add of the
+    centroid cotangent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointnet2_tpu.ops.core import farthest_point_sample_xla, gather_points
+    from pointnet2_tpu.ops.pallas import fps_centroids_pallas_diff
+
+    xyz = jnp.asarray(_cloud(rng, 2, 128))
+    m = 16
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(
+            lambda p: jnp.sum(jnp.sin(fps_centroids_pallas_diff(p, m)[1]))
+        )(xyz)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(
+            jnp.sin(gather_points(p, farthest_point_sample_xla(p, m)))
+        )
+    )(xyz)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=1e-6)
+
+
 @pytest.mark.parametrize("b,m,nq,k", [(2, 100, 128, 3), (1, 64, 256, 5), (2, 16, 128, 3)])
 def test_knn_pallas_matches_numpy(rng, b, m, nq, k):
     from pointnet2_tpu.ops.pallas import knn_pallas

@@ -21,6 +21,7 @@ def main() -> int:
         ball_query_pallas,
         ball_query_windowed,
         farthest_point_sample_pallas,
+        fps_centroids_pallas,
         knn_pallas,
         three_nn_pallas,
     )
@@ -42,6 +43,14 @@ def main() -> int:
         got = np.asarray(farthest_point_sample_pallas(xyz, m))
         want = reference.farthest_point_sample_np(xyz, m)
         check(f"fps n={n} m={m}", (got == want).all())
+        # fused variant (round 3): indices AND centroid coords in one kernel
+        fidx, fxyz = fps_centroids_pallas(jnp.asarray(xyz), m)
+        want_xyz = np.take_along_axis(xyz, want[..., None], axis=1)
+        check(
+            f"fps_centroids n={n} m={m}",
+            (np.asarray(fidx) == want).all()
+            and (np.asarray(fxyz) == want_xyz).all(),
+        )
 
     # Ball query (full + windowed) at model shapes
     for n, m, r in [(8192, 1024, 0.5), (1024, 256, 1.0), (256, 64, 2.0), (64, 16, 4.0)]:
