@@ -86,6 +86,10 @@ class XPlane:
     name: str = ""
     lines: list = dataclasses.field(default_factory=list)
     event_names: dict = dataclasses.field(default_factory=dict)  # id -> name
+    # id -> {stat_name: value} from XEventMetadata.stats (e.g. per-op
+    # "bytes_accessed" / "flops" / "hlo_category" on TPU device planes).
+    event_stats: dict = dataclasses.field(default_factory=dict)
+    stat_names: dict = dataclasses.field(default_factory=dict)  # id -> name
 
 
 def _parse_event(buf: bytes) -> XEvent:
@@ -112,9 +116,31 @@ def _parse_line(buf: bytes) -> XLine:
     return line
 
 
-def _parse_event_metadata(buf: bytes) -> tuple[int, str]:
-    """map entry: key=1 (id), value=2 (XEventMetadata)."""
+def _parse_stat(buf: bytes) -> tuple[int, object]:
+    """XStat -> (stat_metadata_id, value)."""
+    import struct
+
+    meta_id, value = 0, None
+    for field, _, val in _fields(buf):
+        if field == 1:
+            meta_id = val
+        elif field == 2:  # double
+            value = struct.unpack("<d", val)[0]
+        elif field in (3, 4, 7):  # uint64 / int64 / ref
+            value = val
+        elif field == 5:  # str
+            value = val.decode("utf-8", "replace")
+        elif field == 6:  # bytes
+            value = val
+    return meta_id, value
+
+
+def _parse_event_metadata(buf: bytes) -> tuple[int, str, list]:
+    """map entry: key=1 (id), value=2 (XEventMetadata). Returns raw stats
+    as (stat_metadata_id, value) pairs — names resolve after the plane's
+    stat_metadata map is fully parsed (field order is not guaranteed)."""
     meta_id, name, display = 0, "", ""
+    raw_stats: list = []
     for field, _, val in _fields(buf):
         if field == 1:
             meta_id = val
@@ -124,19 +150,44 @@ def _parse_event_metadata(buf: bytes) -> tuple[int, str]:
                     name = v2.decode("utf-8", "replace")
                 elif f2 == 4:
                     display = v2.decode("utf-8", "replace")
-    return meta_id, display or name
+                elif f2 == 5:
+                    raw_stats.append(_parse_stat(v2))
+    return meta_id, display or name, raw_stats
+
+
+def _parse_stat_metadata(buf: bytes) -> tuple[int, str]:
+    """map entry: key=1 (id), value=2 (XStatMetadata{id=1, name=2})."""
+    meta_id, name = 0, ""
+    for field, _, val in _fields(buf):
+        if field == 1:
+            meta_id = val
+        elif field == 2:
+            for f2, _, v2 in _fields(val):
+                if f2 == 2:
+                    name = v2.decode("utf-8", "replace")
+    return meta_id, name
 
 
 def _parse_plane(buf: bytes) -> XPlane:
     plane = XPlane()
+    raw_event_stats: dict = {}
     for field, _, val in _fields(buf):
         if field == 2:
             plane.name = val.decode("utf-8", "replace")
         elif field == 3:
             plane.lines.append(_parse_line(val))
         elif field == 4:
-            meta_id, name = _parse_event_metadata(val)
+            meta_id, name, raw_stats = _parse_event_metadata(val)
             plane.event_names[meta_id] = name
+            if raw_stats:
+                raw_event_stats[meta_id] = raw_stats
+        elif field == 5:
+            sid, sname = _parse_stat_metadata(val)
+            plane.stat_names[sid] = sname
+    for meta_id, raw in raw_event_stats.items():
+        plane.event_stats[meta_id] = {
+            plane.stat_names.get(sid, f"#{sid}"): v for sid, v in raw
+        }
     return plane
 
 
@@ -158,6 +209,14 @@ class OpRow:
     line: str
     count: int
     total_ps: int
+    # Requested HBM traffic per execution (XLA cost analysis, from the
+    # event-metadata "bytes_accessed" stat) — the reference's per-op memory
+    # column (/root/reference/benchmark.py:44-54 time_and_memory).
+    bytes_accessed: int = 0
+    category: str = ""
+    # Attribution: the "source" (file:line) or "tf_op" (jaxpr scope path)
+    # stat, so fusion.N rows map back to model code.
+    origin: str = ""
 
     @property
     def total_ms(self) -> float:
@@ -166,6 +225,17 @@ class OpRow:
     @property
     def avg_us(self) -> float:
         return self.total_ps / max(self.count, 1) / 1e6
+
+    @property
+    def is_async(self) -> bool:
+        """Events on async lines are DMA issue->completion WINDOWS that
+        overlap compute (and each other); their durations must not be read
+        as exclusive device time."""
+        return "Async" in self.line
+
+    @property
+    def total_bytes(self) -> int:
+        return self.bytes_accessed * self.count
 
 
 def aggregate_ops(
@@ -188,7 +258,27 @@ def aggregate_ops(
                 row = rows.get(key)
                 occurrences = max(int(ev.num_occurrences), 1)
                 if row is None:
-                    rows[key] = OpRow(name, line.name, occurrences, ev.duration_ps)
+                    stats = plane.event_stats.get(ev.metadata_id, {})
+                    ba = stats.get("bytes_accessed", 0)
+                    cat = stats.get("hlo_category", "")
+                    src = stats.get("source", "")
+                    tf_op = stats.get("tf_op", "")
+                    if isinstance(src, str) and src:
+                        # keep package-relative tail: pkg/module.py:line
+                        origin = "/".join(src.split("/")[-2:])
+                    elif isinstance(tf_op, str) and tf_op:
+                        origin = "/".join(tf_op.rstrip(":").split("/")[-3:])
+                    else:
+                        origin = ""
+                    rows[key] = OpRow(
+                        name,
+                        line.name,
+                        occurrences,
+                        ev.duration_ps,
+                        bytes_accessed=int(ba) if isinstance(ba, int) else 0,
+                        category=cat if isinstance(cat, str) else "",
+                        origin=origin,
+                    )
                 else:
                     row.count += occurrences
                     row.total_ps += ev.duration_ps
@@ -207,30 +297,75 @@ def device_plane_filter(planes: list[XPlane]) -> str:
     return ""
 
 
+def _fmt_bytes(n: int) -> str:
+    if n <= 0:
+        return "-"
+    for unit in ("B", "KB", "MB", "GB"):
+        if n < 1024 or unit == "GB":
+            return f"{n:.1f}{unit}" if unit != "B" else f"{n}B"
+        n /= 1024.0
+    return f"{n:.1f}GB"
+
+
 def format_report(
     rows: list[OpRow], top: int = 60, title: str = "per-op profile"
 ) -> str:
-    """Render the tf-profile.txt-style table (ordered by total time)."""
-    total_ps = sum(r.total_ps for r in rows) or 1
+    """Render the tf-profile.txt-style table: time AND memory per op
+    (reference parity: /root/reference/benchmark.py:44-54 time_and_memory).
+
+    ``mem/call`` is XLA's cost-analysis bytes_accessed (requested HBM
+    traffic per execution). Rows on Async lines are flagged ``ovl``: their
+    durations are DMA issue->completion windows that OVERLAP compute and
+    each other, so they are excluded from the share denominator — a 40%+
+    "async-copy share" in earlier reports was this double-counting, not
+    stalled device time.
+    """
+    # exclusive device-time rows: the "XLA Ops" line, minus async DMA
+    # windows. "Steps" / "XLA Modules" rows are CONTAINERS whose spans
+    # double-count their member ops. CPU traces have no "XLA Ops" line at
+    # all — there, every non-async row counts (nothing is double-counted
+    # within one line).
+    has_op_line = any("XLA Ops" in r.line and not r.is_async for r in rows)
+
+    def _is_op(r):
+        if r.is_async:
+            return False
+        return "XLA Ops" in r.line if has_op_line else True
+
+    sync_ps = sum(r.total_ps for r in rows if _is_op(r)) or 1
     out = [
         f"# {title}",
         "",
         f"{'op':60s} {'line':>18s} {'count':>8s} {'total_ms':>10s} "
-        f"{'avg_us':>10s} {'share':>7s}",
+        f"{'avg_us':>10s} {'mem/call':>10s} {'share':>7s}",
     ]
     for r in rows[:top]:
         name = r.name if len(r.name) <= 60 else r.name[:57] + "..."
+        if r.is_async:
+            share = "   ovl "
+        elif not _is_op(r):
+            share = "   agg "
+        else:
+            share = f"{100 * r.total_ps / sync_ps:6.2f}%"
         out.append(
             f"{name:60s} {r.line[:18]:>18s} {r.count:8d} {r.total_ms:10.3f} "
-            f"{r.avg_us:10.1f} {100 * r.total_ps / total_ps:6.2f}%"
+            f"{r.avg_us:10.1f} {_fmt_bytes(r.bytes_accessed):>10s} {share}"
+            + (f"  {r.origin[:48]}" if r.origin else "")
         )
     if len(rows) > top:
-        rest = sum(r.total_ps for r in rows[top:])
+        rest = sum(r.total_ps for r in rows[top:] if _is_op(r))
         out.append(
             f"{'... ' + str(len(rows) - top) + ' more ops':60s} "
-            f"{'':>18s} {'':>8s} {rest / 1e9:10.3f} {'':>10s} "
-            f"{100 * rest / total_ps:6.2f}%"
+            f"{'':>18s} {'':>8s} {rest / 1e9:10.3f} {'':>10s} {'':>10s} "
+            f"{100 * rest / sync_ps:6.2f}%"
         )
+    out.append("")
+    out.append(
+        "# share denominator = exclusive 'XLA Ops' device time. 'ovl' rows: "
+        "async DMA windows (issue->completion), overlapped with compute and "
+        "each other. 'agg' rows: container spans (Steps / XLA Modules) that "
+        "double-count their member ops."
+    )
     return "\n".join(out) + "\n"
 
 

@@ -80,3 +80,46 @@ def test_cross_validate_against_tf_proto(trace_dir):
                 assert sum(e.duration_ps for e in lm.events) == sum(
                     e.duration_ps for e in lr.events
                 )
+
+
+def test_format_report_memory_column_and_share_semantics():
+    """Memory column renders; async rows are 'ovl' and container rows 'agg',
+    and neither inflates the share denominator (the round-2 report counted
+    546ms of overlapped DMA windows as 41% 'share')."""
+    rows = [
+        xplane.OpRow("async-copy", "Async XLA Ops", 100, 500_000_000_000),
+        xplane.OpRow("5", "Steps", 1, 300_000_000_000),
+        xplane.OpRow(
+            "fusion.1", "XLA Ops", 3, 90_000_000_000,
+            bytes_accessed=16 * 1024 * 1024, category="fusion",
+        ),
+        xplane.OpRow("fusion.2", "XLA Ops", 3, 10_000_000_000),
+    ]
+    text = xplane.format_report(rows, top=10)
+    lines = {l.split()[0]: l for l in text.splitlines() if l and l[0] != "#"}
+    assert "ovl" in lines["async-copy"]
+    assert "agg" in lines["5"]
+    assert "90.00%" in lines["fusion.1"] and "16.0MB" in lines["fusion.1"]
+    assert "10.00%" in lines["fusion.2"]
+
+
+def test_event_metadata_stats_parsed_from_real_trace():
+    """The round-2 committed TPU trace carries bytes_accessed stats; the
+    parser must surface them (guards the XStat wire-format decoding)."""
+    import pathlib
+
+    trace = pathlib.Path("/root/repo/result/jax-trace-train")
+    files = xplane.find_xplane_files(trace) if trace.exists() else []
+    if not files:
+        pytest.skip("round-2 TPU trace not present")
+    planes = []
+    for f in files:
+        planes.extend(xplane.parse_xspace(f))
+    dev = [p for p in planes if "/device:TPU" in p.name]
+    assert dev
+    stats = [s for p in dev for s in p.event_stats.values()]
+    assert any("bytes_accessed" in s for s in stats)
+    assert any(
+        isinstance(s.get("bytes_accessed"), int) and s["bytes_accessed"] > 0
+        for s in stats
+    )
