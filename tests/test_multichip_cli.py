@@ -1,0 +1,121 @@
+"""Multi-chip CLI end-to-end on the 8-device virtual mesh.
+
+The strongest multi-chip correctness evidence this environment permits
+(tests/conftest.py forces 8 virtual CPU devices): the REAL train.py CLI
+with its batch sharded over the mesh, checkpointing, --resume (the
+checkpoint-to-mesh re-placement path — a real round-2 bug), and
+predict.py --sharded on the resulting checkpoint agreeing with the
+single-device predict. Ref: /root/reference/train.py:333-339 (single-GPU
+reference; the mesh is the TPU-native scale-out equivalent).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from pointnet2_tpu.config import Config
+from pointnet2_tpu.data.io import load_labels, read_pcd, write_labels, write_pcd
+from pointnet2_tpu.data.semantic3d import (
+    train_file_prefixes,
+    validation_file_prefixes,
+)
+
+
+def _run_cli(module_name, argv):
+    old = sys.argv
+    sys.argv = [module_name + ".py"] + argv
+    try:
+        mod = __import__(module_name)
+        mod.main()
+    finally:
+        sys.argv = old
+
+
+@pytest.fixture(scope="module")
+def trained_on_mesh(tmp_path_factory):
+    assert jax.device_count() == 8, "conftest must provide the virtual mesh"
+    rng = np.random.RandomState(3)
+    base = tmp_path_factory.mktemp("mcli")
+    data = base / "scenes"
+    data.mkdir()
+    for prefix in train_file_prefixes + validation_file_prefixes:
+        n = 3000
+        pts = rng.rand(n, 3) * [20.0, 20.0, 4.0]
+        labels = np.where(pts[:, 2] < 2.0, 1, 5).astype(np.int32)
+        write_pcd(str(data / f"{prefix}.pcd"), pts, rng.rand(n, 3))
+        write_labels(str(data / f"{prefix}.labels"), labels)
+
+    cfg = Config(
+        num_point=128,
+        batch_size=8,  # 1 sample per device
+        max_epoch=1,
+        data_path=str(data),
+        logdir=str(base / "log"),
+        l1_npoint=32,
+        l2_npoint=16,
+        l3_npoint=8,
+        l4_npoint=4,
+        l1_nsample=8,
+        l2_nsample=8,
+        l3_nsample=4,
+        l4_nsample=4,
+    )
+    cfg_path = base / "cfg.json"
+    cfg.to_json(cfg_path)
+    _run_cli("train", ["--config_file", str(cfg_path), "--seed", "0"])
+    ckpt = base / "log" / "model_autosave"
+    assert ckpt.exists()
+    return base, cfg_path, ckpt
+
+
+def test_resume_replaces_state_on_mesh(trained_on_mesh):
+    """--resume must re-place the orbax-restored (single-device-committed)
+    state onto the mesh and keep training with sharded batches."""
+    base, cfg_path, ckpt = trained_on_mesh
+    from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
+
+    cfg = Config.from_json(cfg_path)
+    t = Trainer(cfg=cfg)
+    steps_before = int(
+        restore_checkpoint(str(ckpt), t.init_state(jax.random.PRNGKey(0))).step
+    )
+    _run_cli(
+        "train",
+        ["--config_file", str(cfg_path), "--seed", "1", "--resume", str(ckpt)],
+    )
+    steps_after = int(
+        restore_checkpoint(str(ckpt), t.init_state(jax.random.PRNGKey(0))).step
+    )
+    assert steps_after > steps_before
+
+
+def test_predict_sharded_agrees_with_single_device(trained_on_mesh):
+    """predict.py --sharded (SPMD over the 8-device mesh) must sample the
+    same points (seeded dataset) and agree with the single-device labels."""
+    base, cfg_path, ckpt = trained_on_mesh
+    single = base / "sparse_single"
+    sharded = base / "sparse_sharded"
+    common = [
+        "--ckpt", str(ckpt), "--set", "validation",
+        "--config_file", str(cfg_path), "--num_samples", "8",
+        "--batch_size", "8",
+    ]
+    _run_cli("predict", common + ["--output_dir", str(single)])
+    _run_cli("predict", common + ["--output_dir", str(sharded), "--sharded"])
+
+    prefix = validation_file_prefixes[0]
+    pts_single = read_pcd(str(single / f"{prefix}.pcd")).points
+    pts_sharded = read_pcd(str(sharded / f"{prefix}.pcd")).points
+    np.testing.assert_array_equal(pts_single, pts_sharded)  # same samples
+
+    l_single = load_labels(str(single / f"{prefix}.labels"))
+    l_sharded = load_labels(str(sharded / f"{prefix}.labels"))
+    agree = float((l_single == l_sharded).mean())
+    # SPMD partitioning may fuse differently; only argmax near-ties may
+    # flip. Anything below ~99.5% would indicate a real sharding bug.
+    assert agree > 0.995, f"sharded/single label agreement {agree:.4f}"
