@@ -209,9 +209,15 @@ def weighted_ce_sum(logits, labels, weights):
     and normalize once globally (exactly the whole-batch loss).
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[
-        ..., 0
-    ]
+    # One-hot multiply instead of take_along_axis: bit-identical values
+    # (the non-label terms are exactly 0.0 and log_softmax of finite logits
+    # is finite), but the backward is a dense multiply instead of a scatter
+    # of (B*N) rows into the logits — the scatter measured 1.7 ms/step on
+    # TPU (train-profile round 3).
+    onehot = jax.nn.one_hot(
+        labels.astype(jnp.int32), logits.shape[-1], dtype=jnp.float32
+    )
+    ce = -jnp.sum(logp * onehot, axis=-1)
     w = weights.astype(jnp.float32)
     return jnp.sum(ce * w), jnp.sum(w != 0.0).astype(jnp.float32)
 

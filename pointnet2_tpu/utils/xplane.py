@@ -322,13 +322,16 @@ def format_report(
     """
     # exclusive device-time rows: the "XLA Ops" line, minus async DMA
     # windows. "Steps" / "XLA Modules" rows are CONTAINERS whose spans
-    # double-count their member ops. CPU traces have no "XLA Ops" line at
-    # all — there, every non-async row counts (nothing is double-counted
-    # within one line).
+    # double-count their member ops — as do control-flow HLOs on the op
+    # line itself (a `while` over the lax.map chunk loop spans its whole
+    # body, whose ops are listed separately). CPU traces have no "XLA Ops"
+    # line at all — there, every non-async row counts (nothing is
+    # double-counted within one line).
+    _CONTAINER_CATEGORIES = {"while", "conditional", "call", "fusion loop"}
     has_op_line = any("XLA Ops" in r.line and not r.is_async for r in rows)
 
     def _is_op(r):
-        if r.is_async:
+        if r.is_async or r.category in _CONTAINER_CATEGORIES:
             return False
         return "XLA Ops" in r.line if has_op_line else True
 
