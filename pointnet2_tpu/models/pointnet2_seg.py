@@ -56,6 +56,15 @@ class PointNet2SemSeg(nn.Module):
     # perturbation, input optimization — to route SA1 through the plain
     # project+group chain with the full autodiff backward.
     input_is_leaf: bool = True
+    # Calibrated ball-query x-window (production fast path): SA levels whose
+    # cloud exceeds this width sweep only a window-wide slice of the
+    # x-sorted cloud (1.6-2.3x faster ball query at SA1, PERFORMANCE.md) and
+    # sow an exactness certificate into the "diagnostics" collection
+    # ("bq_window_ok" — True means outputs are bit-identical to the exact
+    # kernel). Calibrate with tools/bq_window_calibrate.py; verify on real
+    # batches with Trainer.check_bq_window. None (default) = exact full
+    # kernels everywhere.
+    bq_window: Optional[int] = None
 
     @nn.compact
     def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
@@ -82,6 +91,7 @@ class PointNet2SemSeg(nn.Module):
                 # input_is_leaf=False opts out for input-gradient callers.
                 leaf_inputs=(i == 0) and self.input_is_leaf,
                 compute_dtype=self.compute_dtype,
+                bq_window=self.bq_window,
                 name=f"sa{i + 1}",
             )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             xyzs.append(new_xyz)
@@ -137,6 +147,9 @@ class PointNet2SemSegMSG(nn.Module):
     config: Optional[Config] = None
     ops_impl: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    # See PointNet2SemSeg.bq_window (MSG levels share one window —
+    # calibrate for the largest radius).
+    bq_window: Optional[int] = None
 
     @nn.compact
     def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
@@ -155,6 +168,7 @@ class PointNet2SemSegMSG(nn.Module):
                     mlp_list=([c // 2 for c in mlp], mlp),
                     ops_impl=self.ops_impl,
                     compute_dtype=self.compute_dtype,
+                    bq_window=self.bq_window,
                     name=f"sa{i + 1}",
                 )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             else:
@@ -165,6 +179,7 @@ class PointNet2SemSegMSG(nn.Module):
                     mlp=mlp,
                     ops_impl=self.ops_impl,
                     compute_dtype=self.compute_dtype,
+                    bq_window=self.bq_window,
                     name=f"sa{i + 1}",
                 )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             xyzs.append(new_xyz)

@@ -39,16 +39,21 @@ def sample_and_group(
     use_knn: bool = False,
     use_xyz: bool = True,
     impl: str | None = None,
+    ball_query_fn=None,
 ):
     """FPS centroids + ball-query (or kNN) grouping + local normalization.
 
     Mirrors util/pointnet_util.py:18-60. Returns (new_xyz, new_points, idx,
     grouped_xyz) with shapes (B,npoint,3), (B,npoint,nsample,3+C),
-    (B,npoint,nsample), (B,npoint,nsample,3).
+    (B,npoint,nsample), (B,npoint,nsample,3). ``ball_query_fn`` overrides
+    the radius search ((xyz, new_xyz) -> (idx, cnt)) — SetAbstraction uses
+    it to route through the calibrated-window query when configured.
     """
     fps_idx, new_xyz = ops.fps_centroids(xyz, npoint, impl=impl)
     if use_knn:
         _, idx = ops.knn(xyz, new_xyz, nsample, impl=impl)
+    elif ball_query_fn is not None:
+        idx, _ = ball_query_fn(xyz, new_xyz)
     else:
         idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample, impl=impl)
     grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
@@ -143,6 +148,26 @@ class SetAbstraction(nn.Module):
     # Geometry (FPS / ball query / kNN) always runs in f32 — neighbor
     # selection stays bit-exact in bf16 mode.
     compute_dtype: Optional[Any] = None
+    # Calibrated ball-query x-window (ops.ball_query_calibrated): when set
+    # (and use_knn is False), ball query sweeps only a window-wide slice of
+    # the x-sorted cloud and the exactness certificate is sown into the
+    # "diagnostics" collection as "bq_window_ok" (dropped unless the caller
+    # applies with mutable=["diagnostics"] — see Trainer.check_bq_window).
+    # Pick the window with tools/bq_window_calibrate.py; levels whose cloud
+    # is not larger than the window automatically use the full exact kernel.
+    bq_window: Optional[int] = None
+
+    def _ball_query(self, xyz, new_xyz):
+        if self.bq_window is not None:
+            idx, cnt, ok = ops.ball_query_calibrated(
+                xyz, new_xyz, self.radius, self.nsample, self.bq_window,
+                impl=self.ops_impl,
+            )
+            self.sow("diagnostics", "bq_window_ok", ok)
+            return idx, cnt
+        return ops.ball_query(
+            xyz, new_xyz, self.radius, self.nsample, impl=self.ops_impl
+        )
 
     @nn.compact
     def __call__(self, xyz, points, *, train: bool, bn_momentum):
@@ -162,6 +187,7 @@ class SetAbstraction(nn.Module):
                 self.use_knn,
                 self.use_xyz,
                 impl=self.ops_impl,
+                ball_query_fn=self._ball_query,
             )
 
         new_points = SharedMLP(
@@ -195,9 +221,7 @@ class SetAbstraction(nn.Module):
         if self.use_knn:
             _, idx = ops.knn(xyz, new_xyz, self.nsample, impl=self.ops_impl)
         else:
-            idx, _ = ops.ball_query(
-                xyz, new_xyz, self.radius, self.nsample, impl=self.ops_impl
-            )
+            idx, _ = self._ball_query(xyz, new_xyz)
 
         if self.leaf_inputs and train:
             # TRAIN, leaf inputs: gather the RAW channels (the reference's
@@ -273,6 +297,10 @@ class SetAbstractionMSG(nn.Module):
     use_bn: bool = True
     ops_impl: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    # Calibrated ball-query window shared by every scale (calibrate for the
+    # LARGEST radius — wider-than-needed windows stay exact). See
+    # SetAbstraction.bq_window.
+    bq_window: Optional[int] = None
 
     @nn.compact
     def __call__(self, xyz, points, *, train: bool, bn_momentum):
@@ -281,7 +309,16 @@ class SetAbstractionMSG(nn.Module):
         for i, (radius, nsample) in enumerate(
             zip(self.radius_list, self.nsample_list)
         ):
-            idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample, impl=self.ops_impl)
+            if self.bq_window is not None:
+                idx, _, ok = ops.ball_query_calibrated(
+                    xyz, new_xyz, radius, nsample, self.bq_window,
+                    impl=self.ops_impl,
+                )
+                self.sow("diagnostics", "bq_window_ok", ok)
+            else:
+                idx, _ = ops.ball_query(
+                    xyz, new_xyz, radius, nsample, impl=self.ops_impl
+                )
             grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
                 grouped = ops.group_points(points, idx)

@@ -29,6 +29,7 @@ from pointnet2_tpu.ops.core import (
 )
 from pointnet2_tpu.ops.pallas import (
     ball_query_pallas,
+    ball_query_sliced,
     ball_query_windowed,
     farthest_point_sample_pallas,
     fps_centroids_pallas_diff,
@@ -43,6 +44,7 @@ __all__ = [
     "gather_points",
     "prob_sample",
     "ball_query",
+    "ball_query_calibrated",
     "group_points",
     "project_group_leaf",
     "knn",
@@ -101,6 +103,33 @@ def ball_query(xyz1, xyz2, radius: float, nsample: int, impl: str | None = None)
     if _use_pallas(impl):
         return ball_query_pallas(xyz1, xyz2, radius, nsample)
     return ball_query_xla(xyz1, xyz2, radius, nsample)
+
+
+def ball_query_calibrated(
+    xyz1, xyz2, radius: float, nsample: int, window: int, impl: str | None = None
+):
+    """Ball query with a calibrated x-window: ``(idx, cnt, ok)``.
+
+    The production fast path for large N (tf_ops/tf_grouping.cu:3-43
+    semantics): the dataset and queries are x-sorted, each 128-query tile
+    sweeps only a ``window``-wide slice of the sorted cloud, and ``ok`` (a
+    scalar bool) certifies that every tile's true candidate span fit — when
+    True, outputs are bit-identical to :func:`ball_query`. Measured 1.6-2.3x
+    faster than the full kernel at the SA1 regime (PERFORMANCE.md).
+
+    There is intentionally no in-graph fallback when the window is too
+    small: ``lax.cond`` costs more on TPU than the entire windowed saving
+    (tools/bq_cond_probe.py). Pick ``window`` with
+    ``tools/bq_window_calibrate.py`` and monitor ``ok`` (PointNet2SemSeg
+    sows it; Trainer.check_bq_window asserts it on real batches).
+
+    On the XLA path (CPU/GPU) the window is ignored: the exact full query
+    runs and ``ok`` is constant True.
+    """
+    if _use_pallas(impl):
+        return ball_query_sliced(xyz1, xyz2, radius, nsample, window)
+    idx, cnt = ball_query_xla(xyz1, xyz2, radius, nsample)
+    return idx, cnt, jax.numpy.ones((), bool)
 
 
 def knn(xyz1, xyz2, k: int, impl: str | None = None):

@@ -10,7 +10,11 @@ from pointnet2_tpu.ops.pallas.fps import (
     fps_centroids_pallas,
     fps_centroids_pallas_diff,
 )
-from pointnet2_tpu.ops.pallas.ballquery import ball_query_pallas, ball_query_windowed
+from pointnet2_tpu.ops.pallas.ballquery import (
+    ball_query_pallas,
+    ball_query_sliced,
+    ball_query_windowed,
+)
 from pointnet2_tpu.ops.pallas.interpolate import three_interpolate_pallas
 from pointnet2_tpu.ops.pallas.knn import knn_pallas, three_nn_pallas
 
@@ -19,6 +23,7 @@ __all__ = [
     "fps_centroids_pallas",
     "fps_centroids_pallas_diff",
     "ball_query_pallas",
+    "ball_query_sliced",
     "ball_query_windowed",
     "knn_pallas",
     "three_nn_pallas",

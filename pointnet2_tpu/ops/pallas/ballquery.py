@@ -241,6 +241,172 @@ def ball_query_windowed(
     return jax.lax.cond(fits, windowed, full, operand=None)
 
 
+def _ball_query_sliced_kernel(
+    win_ref, perm_ref, q_ref, idx_ref, cnt_ref, sel_ref, *, n: int, radius: float, nsample: int
+):
+    """Pre-sliced windowed variant: every ref is a statically-addressed block.
+
+    The wrapper materializes each query tile's (3, W) sorted-coordinate
+    window and its (1, W) original-index window with XLA dynamic slices, so
+    the kernel does NO dynamic-lane reads (pl.ds lane slicing from VMEM is a
+    relayout copy on this Mosaic version — measured as expensive as the
+    sweep work it saves in the in-kernel-sliced variant above). Extracting
+    the nsample smallest original indices in the window preserves the exact
+    first-in-dataset-order semantics (tf_ops/tf_grouping.cu:3-43).
+    """
+    w = win_ref.shape[-1]
+    tm = q_ref.shape[2]
+
+    d2 = jnp.zeros((tm, w), jnp.float32)
+    for c in range(3):
+        diff = q_ref[0, 0, :, c : c + 1] - win_ref[0, 0, c : c + 1, :]
+        d2 = d2 + diff * diff
+
+    keys_orig = perm_ref[0, 0, 0:1, :]  # (1, W) original dataset indices
+    in_ball = (d2 < jnp.float32(radius) ** 2) & (keys_orig < n)
+    keys = jnp.where(in_ball, keys_orig, n)
+
+    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1)
+    cnt_ref[0, 0, 0, :] = jnp.minimum(cnt, nsample)
+
+    for s in range(nsample):
+        kmin = jnp.min(block_min(keys), axis=1, keepdims=True)
+        sel_ref[:, s : s + 1] = kmin
+        keys = jnp.where(keys == kmin, n, keys)
+
+    sel = sel_ref[:, :nsample]
+    first = sel[:, 0:1]
+    first = jnp.where(first < n, first, 0)
+    idx_ref[0, 0] = jnp.where(sel < n, sel, first)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def ball_query_sliced(
+    xyz1: jax.Array,
+    xyz2: jax.Array,
+    radius: float,
+    nsample: int,
+    window: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Windowed ball query with XLA-side window materialization + ok cert.
+
+    Same locality idea as ball_query_windowed (x-sort dataset + queries,
+    bound each 128-query tile's candidate columns by searchsorted), but the
+    windows are cut OUTSIDE the kernel with vmapped lax.dynamic_slice, so
+    the kernel's sweeps run over statically-addressed (tm, W) blocks. The
+    round-1 windowed kernel sliced in-kernel with pl.ds and measured SLOWER
+    than the full kernel despite 4x less sweep width — dynamic-lane VMEM
+    reads are relayout copies. Sorts themselves are cheap (~0.2 ms at the
+    chunk regime, tools/bq_window_overhead_probe.py). Measured at the SA1
+    chunk regime (B=8, 8192x1024, k=32, w=3072): 0.72-1.2 ms vs the full
+    kernel's 1.5-2.0 ms (tools/bq_cond_probe.py).
+
+    Returns ``(idx, cnt, ok)``. ``ok`` is a scalar bool **exactness
+    certificate**: the window provably contains every in-ball candidate
+    for every query tile (x-span bound via searchsorted), so when ``ok``
+    is True the outputs are bit-identical to ball_query_pallas / the NumPy
+    oracle (asserted on hardware in tools/tpu_parity.py). When the data is
+    denser than the calibrated window (ok=False), far-from-centroid
+    neighbors past the window edge may be dropped — callers must treat the
+    results as invalid and re-run with a wider window / the full kernel.
+
+    There is deliberately NO in-graph fallback: a lax.cond on ok costs
+    0.7-1.4 ms on this backend even with a trivial branch — more than the
+    entire kernel saving (tools/bq_cond_probe.py: with-cond 1.2-1.7,
+    dummy-cond 2.1-2.3, no-cond 0.72-1.2, full 1.5-2.0 ms). Use
+    ``tools/bq_window_calibrate.py`` to pick a window for a dataset and
+    monitor ok (the model sows it, the trainer asserts it at eval points).
+
+    Reference semantics preserved: first-nsample-in-ball in dataset order,
+    pad-by-first, count capped at nsample (tf_ops/tf_grouping.cu:3-43) —
+    extracting the nsample smallest original indices among in-window
+    in-ball columns is exactly first-k-in-dataset-order.
+    """
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    tm = min(_LANES, m)
+    w = _round_up(window, _LANES)
+    if w >= n or m % tm != 0:
+        idx, cnt = ball_query_pallas(xyz1, xyz2, radius, nsample)
+        return idx, cnt, jnp.array(True)
+    t = m // tm
+
+    x1 = xyz1.astype(jnp.float32)
+    x2 = xyz2.astype(jnp.float32)
+    perm = jnp.argsort(x1[..., 0], axis=1)  # (B, N)
+    xs = jnp.take_along_axis(x1, perm[..., None], axis=1)
+    qperm = jnp.argsort(x2[..., 0], axis=1)  # (B, M)
+    qs = jnp.take_along_axis(x2, qperm[..., None], axis=1)
+
+    q_tiles = qs.reshape(b, t, tm, 3)
+    xsx = xs[..., 0]
+    tile_lo = q_tiles[..., 0].min(axis=-1) - jnp.float32(radius)  # (B, T)
+    tile_hi = q_tiles[..., 0].max(axis=-1) + jnp.float32(radius)
+    lo = jax.vmap(jnp.searchsorted)(xsx, tile_lo).astype(jnp.int32)
+    hi = jax.vmap(jnp.searchsorted)(xsx, tile_hi).astype(jnp.int32)
+    lo_aligned = (jnp.clip(lo, 0, max(n - w, 0)) // _LANES) * _LANES
+    ok = jnp.max(hi - lo_aligned) <= w
+
+    xs_t = jnp.transpose(xs, (0, 2, 1))  # (B, 3, N)
+    perm_in = perm.astype(jnp.int32)[:, None, :]  # (B, 1, N)
+
+    cut = jax.vmap(  # over batch
+        jax.vmap(  # over tiles
+            lambda arr, s: lax.dynamic_slice(arr, (0, s), (arr.shape[0], w)),
+            in_axes=(None, 0),
+        ),
+        in_axes=(0, 0),
+    )
+    win = cut(xs_t, lo_aligned)  # (B, T, 3, W)
+    permw = cut(perm_in, lo_aligned)  # (B, T, 1, W)
+    kernel = functools.partial(
+        _ball_query_sliced_kernel, n=n, radius=float(radius), nsample=nsample
+    )
+    idx_s, cnt_s = pl.pallas_call(
+        kernel,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, tm, 3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, tm, nsample),
+                lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, tm), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, tm, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, t, 1, tm), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tm, _round_up(nsample, _LANES)), jnp.int32)
+        ],
+        cost_estimate=common.cost_estimate(
+            flops=2 * b * m * w * 3 + b * m * w * (nsample + 6),
+            bytes_accessed=b * t * w * 16 + b * m * 12 + b * m * nsample * 4,
+            transcendentals=0,
+        ),
+    )(win, permw, q_tiles)
+    idx_sorted = idx_s.reshape(b, m, nsample)
+    cnt_sorted = cnt_s.reshape(b, m)
+    inv = jnp.argsort(qperm, axis=1)
+    idx_out = jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
+    cnt_out = jnp.take_along_axis(cnt_sorted, inv, axis=1)
+    return idx_out, cnt_out, ok
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def ball_query_pallas(
     xyz1: jax.Array,

@@ -105,6 +105,12 @@ class Trainer:
     # Default False keeps the documented ghost-BN semantics that round-2
     # soaks and the accumulation oracle test pin down.
     bn_accum_rescale: bool = False
+    # Calibrated ball-query x-window (PointNet2SemSeg.bq_window): the
+    # production fast path for the SA1 radius search. None (default) keeps
+    # the exact full kernel. When set, verify on real batches with
+    # check_bq_window (train.py does at every eval when --bq_window is
+    # given); calibrate with tools/bq_window_calibrate.py.
+    bq_window: Optional[int] = None
 
     def __post_init__(self):
         self.model = PointNet2SemSeg(
@@ -112,6 +118,7 @@ class Trainer:
             use_color=bool(self.cfg.use_color),
             config=self.cfg,
             ops_impl=self.ops_impl,
+            bq_window=self.bq_window,
         )
         if self.infer_dtype in ("bfloat16", "bf16"):
             self.infer_model = self.model.clone(compute_dtype=jnp.bfloat16)
@@ -347,6 +354,29 @@ class Trainer:
         """Inference logits -> argmax labels (predict.py:65-91)."""
         logits = self._infer_logits(state, points)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def check_bq_window(self, state: TrainState, points: jax.Array) -> bool:
+        """Verify the calibrated ball-query window on a real batch.
+
+        Runs the eval forward with the "diagnostics" collection mutable so
+        every SA level's sown ``bq_window_ok`` exactness certificate is
+        collected (see ops.ball_query_calibrated), and returns True iff all
+        hold — i.e. the windowed query's outputs on this batch are
+        bit-identical to the exact kernel's. Always True when bq_window is
+        None. Cheap relative to an eval pass (one un-chunked forward on the
+        given batch); train.py calls it at every eval epoch.
+        """
+        if self.bq_window is None:
+            return True
+        _, diag = self.infer_model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points,
+            train=False,
+            bn_momentum=0.9,
+            mutable=["diagnostics"],
+        )
+        flags = jax.tree.leaves(diag.get("diagnostics", {}))
+        return bool(jnp.all(jnp.stack([jnp.all(f) for f in flags])))
 
 
 # -- checkpointing ---------------------------------------------------------

@@ -41,6 +41,14 @@ def main() -> None:
         "label agreement with float32 — see PERFORMANCE.md)",
     )
     parser.add_argument(
+        "--bq_window",
+        type=int,
+        default=None,
+        help="calibrated ball-query x-window (tools/bq_window_calibrate.py); "
+        "the exactness certificate is verified on the first batch and the "
+        "run aborts if the window is too small for this data",
+    )
+    parser.add_argument(
         "--sharded",
         action="store_true",
         help="batch-parallel inference over ALL visible devices (1-D ICI "
@@ -91,6 +99,7 @@ def main() -> None:
         # Sharded mode: each device already holds only batch/n rows, so
         # the HBM-locality chunk loop would just serialize the devices.
         infer_chunk=0 if flags.sharded else 8,
+        bq_window=flags.bq_window,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
@@ -129,6 +138,18 @@ def main() -> None:
                 from pointnet2_tpu.parallel import shard_batch
 
                 device_inputs = shard_batch(device_inputs, mesh)
+            if flags.bq_window is not None and not getattr(
+                main, "_bq_checked", False
+            ):
+                # One-time exactness-certificate check on real data: a
+                # too-small window silently drops neighbors.
+                if not trainer.check_bq_window(state, device_inputs):
+                    raise ValueError(
+                        f"--bq_window={flags.bq_window} is too small for "
+                        "this dataset (exactness certificate failed); "
+                        "recalibrate with tools/bq_window_calibrate.py"
+                    )
+                main._bq_checked = True
             pred = np.asarray(
                 trainer.predict_step(state, device_inputs)
             )[:current]

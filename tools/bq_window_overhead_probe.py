@@ -51,7 +51,8 @@ def main():
 
     @jax.jit
     def f_inv_idx(i_s):
-        qperm = jnp.argsort(i_s[..., 0].astype(jnp.float32), axis=1)
+        # i_s arrives as f32 (scan-carry dtype); values are small ints.
+        qperm = jnp.argsort(i_s[..., 0], axis=1)
         inv = jnp.argsort(qperm, axis=1)
         return jnp.take_along_axis(i_s, inv[..., None], axis=1)
 
@@ -67,7 +68,7 @@ def main():
         ("a argsort (B,N)", lambda c: f_argsort_n(c), xyz1),
         ("b sort+gather xyz (B,N,3)", lambda c: f_gather_n(c), xyz1),
         ("c argsort (B,M)", lambda c: f_argsort_m(c), xyz2),
-        ("f inverse-perm idx (B,M,K)", lambda c: f_inv_idx(c), idxw),
+        ("f inverse-perm idx (B,M,K)", lambda c: f_inv_idx(c), idxw.astype(jnp.float32)),
         ("g full kernel", lambda c: ball_query_pallas(c, xyz2, r, ns)[0], xyz1),
         (
             "h windowed total",

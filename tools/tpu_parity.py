@@ -19,6 +19,7 @@ def main() -> int:
     from pointnet2_tpu.ops import reference
     from pointnet2_tpu.ops.pallas import (
         ball_query_pallas,
+        ball_query_sliced,
         ball_query_windowed,
         farthest_point_sample_pallas,
         fps_centroids_pallas,
@@ -68,6 +69,19 @@ def main() -> int:
         check(
             f"ball_query_windowed n={n} m={m}",
             (np.asarray(gi2) == wi).all() and (np.asarray(gc2) == wc).all(),
+        )
+        # Calibrated-window production path (round 3): exact + certified
+        # whenever the window fits (SA1 regime engages the sliced kernel;
+        # deeper levels statically fall back to the full kernel).
+        w = 4096 if n > 4096 else n
+        gi3, gc3, ok3 = ball_query_sliced(
+            jnp.asarray(xyz1), jnp.asarray(xyz2), r, 32, w
+        )
+        check(
+            f"ball_query_sliced n={n} m={m} w={w}",
+            bool(ok3)
+            and (np.asarray(gi3) == wi).all()
+            and (np.asarray(gc3) == wc).all(),
         )
 
     # three_nn / knn at FP shapes

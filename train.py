@@ -38,6 +38,14 @@ def main() -> None:
         help="split each batch into this many microbatches and accumulate "
         "gradients (one optimizer update per batch; ghost-BN moments)",
     )
+    parser.add_argument(
+        "--bq_window",
+        type=int,
+        default=None,
+        help="calibrated ball-query x-window (tools/bq_window_calibrate.py); "
+        "the sown exactness certificate is verified on a validation batch at "
+        "every eval epoch and the run aborts if the window is too small",
+    )
     flags = parser.parse_args()
 
     import jax
@@ -92,7 +100,10 @@ def main() -> None:
 
     mesh = create_mesh()
     trainer = Trainer(
-        cfg=cfg, num_classes=train_ds.num_classes, accum_steps=flags.accum_steps
+        cfg=cfg,
+        num_classes=train_ds.num_classes,
+        accum_steps=flags.accum_steps,
+        bq_window=flags.bq_window,
     )
     state = trainer.init_state(jax.random.PRNGKey(flags.seed or 0))
     if flags.resume:
@@ -193,6 +204,18 @@ def main() -> None:
                 vlosses = []
                 for i in range(num_val_batches):
                     batch = next(val_iter)
+                    if i == 0 and flags.bq_window is not None:
+                        # Verify the calibrated window's exactness
+                        # certificate on real data once per eval epoch;
+                        # a too-small window silently drops neighbors, so
+                        # abort rather than train on wrong groupings.
+                        if not trainer.check_bq_window(state, batch["points"]):
+                            raise ValueError(
+                                f"--bq_window={flags.bq_window} is too small "
+                                "for this dataset (exactness certificate "
+                                "failed on a validation batch); recalibrate "
+                                "with tools/bq_window_calibrate.py"
+                            )
                     metrics = trainer.eval_step(state, batch)
                     vlosses.append(metrics["loss"])
                     dev_vcm = (
