@@ -65,6 +65,10 @@ class PointNet2SemSeg(nn.Module):
     # batches with Trainer.check_bq_window. None (default) = exact full
     # kernels everywhere.
     bq_window: Optional[int] = None
+    # Calibrated 3-NN x-window for the FP decoder levels (same contract:
+    # certificate sown as "fp_window_ok", checked by Trainer.check_bq_window;
+    # coarse clouds not larger than the window run the full exact kernel).
+    fp_window: Optional[int] = None
 
     @nn.compact
     def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
@@ -104,6 +108,7 @@ class PointNet2SemSeg(nn.Module):
                 mlp=mlp,
                 ops_impl=self.ops_impl,
                 compute_dtype=self.compute_dtype,
+                fp_window=self.fp_window,
                 name=f"fp{i + 1}",
             )(
                 xyzs[lvl],
@@ -150,6 +155,8 @@ class PointNet2SemSegMSG(nn.Module):
     # See PointNet2SemSeg.bq_window (MSG levels share one window —
     # calibrate for the largest radius).
     bq_window: Optional[int] = None
+    # See PointNet2SemSeg.fp_window.
+    fp_window: Optional[int] = None
 
     @nn.compact
     def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
@@ -191,6 +198,7 @@ class PointNet2SemSegMSG(nn.Module):
                 mlp=mlp,
                 ops_impl=self.ops_impl,
                 compute_dtype=self.compute_dtype,
+                fp_window=self.fp_window,
                 name=f"fp{i + 1}",
             )(
                 xyzs[lvl],

@@ -352,10 +352,23 @@ class FeaturePropagation(nn.Module):
     use_bn: bool = True
     ops_impl: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    # Calibrated 3-NN x-window (ops.three_nn_calibrated): when set, the
+    # 3-NN sweeps only a window-wide centered slice of the x-sorted coarse
+    # cloud and the exactness certificate is sown into "diagnostics" as
+    # "fp_window_ok" (checked together with bq_window_ok by
+    # Trainer.check_bq_window). Levels whose coarse cloud is not larger
+    # than the window automatically use the full exact kernel.
+    fp_window: Optional[int] = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, points1, points2, *, train: bool, bn_momentum):
-        dist2, idx = ops.three_nn(xyz1, xyz2, impl=self.ops_impl)
+        if self.fp_window is not None:
+            dist2, idx, ok = ops.three_nn_calibrated(
+                xyz1, xyz2, self.fp_window, impl=self.ops_impl
+            )
+            self.sow("diagnostics", "fp_window_ok", ok)
+        else:
+            dist2, idx = ops.three_nn(xyz1, xyz2, impl=self.ops_impl)
         # The reference registers NoGradient on ThreeNN; distances are
         # geometry, not parameters — stop the (useless) backward sweep.
         dist2 = lax.stop_gradient(dist2)

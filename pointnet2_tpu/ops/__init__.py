@@ -34,8 +34,10 @@ from pointnet2_tpu.ops.pallas import (
     farthest_point_sample_pallas,
     fps_centroids_pallas_diff,
     knn_pallas,
+    knn_sliced,
     three_interpolate_pallas,
     three_nn_pallas,
+    three_nn_sliced,
 )
 
 __all__ = [
@@ -48,9 +50,11 @@ __all__ = [
     "group_points",
     "project_group_leaf",
     "knn",
+    "knn_calibrated",
     "select_top_k",
     "selection_sort",
     "three_nn",
+    "three_nn_calibrated",
     "three_interpolate",
     "interpolation_weights",
 ]
@@ -139,11 +143,46 @@ def knn(xyz1, xyz2, k: int, impl: str | None = None):
     return knn_xla(xyz1, xyz2, k)
 
 
+def knn_calibrated(xyz1, xyz2, k: int, window: int, impl: str | None = None):
+    """kNN with a calibrated x-window: ``(dist2, idx, ok)``.
+
+    The kNN analogue of :func:`ball_query_calibrated`: dataset and queries
+    are x-sorted, each 128-query tile sweeps only a ``window``-wide centered
+    slice of the sorted dataset, and ``ok`` (a scalar bool) certifies
+    exactness — every query's k-th pick is strictly closer than the squared
+    x-distance to the nearest excluded column, so when True the outputs are
+    bit-identical to :func:`knn`. No in-graph fallback (lax.cond costs more
+    than the saving on TPU — tools/bq_cond_probe.py); calibrate with
+    tools/bq_window_calibrate.py and monitor ``ok``.
+
+    On the XLA path (CPU/GPU) the window is ignored: the exact full query
+    runs and ``ok`` is constant True.
+    """
+    if _use_pallas(impl):
+        return knn_sliced(xyz1, xyz2, k, window)
+    dist, idx = knn_xla(xyz1, xyz2, k)
+    return dist, idx, jax.numpy.ones((), bool)
+
+
 def three_nn(xyz1, xyz2, impl: str | None = None):
     """Exact 3-NN with squared distances (tf_ops/tf_interpolate.cpp:213-243)."""
     if _use_pallas(impl):
         return three_nn_pallas(xyz1, xyz2)
     return three_nn_xla(xyz1, xyz2)
+
+
+def three_nn_calibrated(xyz1, xyz2, window: int, impl: str | None = None):
+    """Exact 3-NN with a calibrated x-window: ``(dist2, idx, ok)``.
+
+    See :func:`knn_calibrated` (this is its three_nn-argument-order form:
+    ``xyz1`` = dense queries, ``xyz2`` = coarse dataset). Used by the FP
+    levels when ``fp_window`` is set; datasets not larger than the window
+    automatically run the full exact kernel with ``ok`` True.
+    """
+    if _use_pallas(impl):
+        return three_nn_sliced(xyz1, xyz2, window)
+    dist, idx = three_nn_xla(xyz1, xyz2)
+    return dist, idx, jax.numpy.ones((), bool)
 
 
 def three_interpolate(

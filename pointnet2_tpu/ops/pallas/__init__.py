@@ -16,7 +16,12 @@ from pointnet2_tpu.ops.pallas.ballquery import (
     ball_query_windowed,
 )
 from pointnet2_tpu.ops.pallas.interpolate import three_interpolate_pallas
-from pointnet2_tpu.ops.pallas.knn import knn_pallas, three_nn_pallas
+from pointnet2_tpu.ops.pallas.knn import (
+    knn_pallas,
+    knn_sliced,
+    three_nn_pallas,
+    three_nn_sliced,
+)
 
 __all__ = [
     "farthest_point_sample_pallas",
@@ -26,6 +31,8 @@ __all__ = [
     "ball_query_sliced",
     "ball_query_windowed",
     "knn_pallas",
+    "knn_sliced",
     "three_nn_pallas",
+    "three_nn_sliced",
     "three_interpolate_pallas",
 ]

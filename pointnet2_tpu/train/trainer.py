@@ -111,6 +111,10 @@ class Trainer:
     # check_bq_window (train.py does at every eval when --bq_window is
     # given); calibrate with tools/bq_window_calibrate.py.
     bq_window: Optional[int] = None
+    # Calibrated 3-NN x-window for the FP decoder levels
+    # (PointNet2SemSeg.fp_window): same contract and verification path as
+    # bq_window (check_bq_window collects BOTH certificates).
+    fp_window: Optional[int] = None
 
     def __post_init__(self):
         self.model = PointNet2SemSeg(
@@ -119,6 +123,7 @@ class Trainer:
             config=self.cfg,
             ops_impl=self.ops_impl,
             bq_window=self.bq_window,
+            fp_window=self.fp_window,
         )
         if self.infer_dtype in ("bfloat16", "bf16"):
             self.infer_model = self.model.clone(compute_dtype=jnp.bfloat16)
@@ -359,14 +364,15 @@ class Trainer:
         """Verify the calibrated ball-query window on a real batch.
 
         Runs the eval forward with the "diagnostics" collection mutable so
-        every SA level's sown ``bq_window_ok`` exactness certificate is
-        collected (see ops.ball_query_calibrated), and returns True iff all
-        hold — i.e. the windowed query's outputs on this batch are
-        bit-identical to the exact kernel's. Always True when bq_window is
-        None. Cheap relative to an eval pass (one un-chunked forward on the
-        given batch); train.py calls it at every eval epoch.
+        every SA level's sown ``bq_window_ok`` AND every FP level's
+        ``fp_window_ok`` exactness certificate is collected (see
+        ops.ball_query_calibrated / ops.three_nn_calibrated), and returns
+        True iff all hold — i.e. the windowed queries' outputs on this batch
+        are bit-identical to the exact kernels'. Always True when both
+        windows are None. Cheap relative to an eval pass (one un-chunked
+        forward on the given batch); train.py calls it at every eval epoch.
         """
-        if self.bq_window is None:
+        if self.bq_window is None and self.fp_window is None:
             return True
         _, diag = self.infer_model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

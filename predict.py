@@ -49,6 +49,13 @@ def main() -> None:
         "run aborts if the window is too small for this data",
     )
     parser.add_argument(
+        "--fp_window",
+        type=int,
+        default=None,
+        help="calibrated 3-NN x-window for the FP decoder levels "
+        "(tools/bq_window_calibrate.py); verified like --bq_window",
+    )
+    parser.add_argument(
         "--sharded",
         action="store_true",
         help="batch-parallel inference over ALL visible devices (1-D ICI "
@@ -100,6 +107,7 @@ def main() -> None:
         # the HBM-locality chunk loop would just serialize the devices.
         infer_chunk=0 if flags.sharded else 8,
         bq_window=flags.bq_window,
+        fp_window=flags.fp_window,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
@@ -138,14 +146,15 @@ def main() -> None:
                 from pointnet2_tpu.parallel import shard_batch
 
                 device_inputs = shard_batch(device_inputs, mesh)
-            if flags.bq_window is not None and not getattr(
-                main, "_bq_checked", False
-            ):
+            if (
+                flags.bq_window is not None or flags.fp_window is not None
+            ) and not getattr(main, "_bq_checked", False):
                 # One-time exactness-certificate check on real data: a
                 # too-small window silently drops neighbors.
                 if not trainer.check_bq_window(state, device_inputs):
                     raise ValueError(
-                        f"--bq_window={flags.bq_window} is too small for "
+                        f"--bq_window={flags.bq_window} / "
+                        f"--fp_window={flags.fp_window} is too small for "
                         "this dataset (exactness certificate failed); "
                         "recalibrate with tools/bq_window_calibrate.py"
                     )

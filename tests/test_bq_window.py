@@ -115,6 +115,26 @@ class TestModelPlumbing:
         assert len(flags) == 4, "one certificate per SA level"
         assert all(bool(jnp.all(f)) for f in flags)
 
+    def test_msg_model_logits_unchanged_and_ok_sown(self, rng):
+        from pointnet2_tpu.models import PointNet2SemSegMSG
+
+        x = jnp.asarray(rng.rand(1, SMALL.num_point, 6), jnp.float32)
+        base = PointNet2SemSegMSG(num_classes=9, use_color=True, config=SMALL)
+        wind = base.clone(bq_window=256)
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        vars_base = base.init(rngs, x, train=False, bn_momentum=0.9)
+        logits_base = base.apply(vars_base, x, train=False, bn_momentum=0.9)
+        logits_wind, diag = wind.apply(
+            vars_base, x, train=False, bn_momentum=0.9, mutable=["diagnostics"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(logits_base), np.asarray(logits_wind)
+        )
+        flags = jax.tree.leaves(diag["diagnostics"])
+        # two MSG levels x two scales + two SSG levels
+        assert len(flags) == 6
+        assert all(bool(jnp.all(f)) for f in flags)
+
     def test_params_identical_with_and_without_window(self, rng):
         x = jnp.asarray(rng.rand(1, SMALL.num_point, 6), jnp.float32)
         base = PointNet2SemSeg(num_classes=9, use_color=True, config=SMALL)

@@ -1,24 +1,25 @@
 #!/usr/bin/env python3
-"""Calibrate the ball-query x-window (--bq_window) for a dataset.
+"""Calibrate the ball-query (--bq_window) AND 3-NN (--fp_window) x-windows.
 
 Samples training batches exactly like train.py, runs FPS to get the real
 query centroids, and computes — with the same 128-query-tile x-span math as
-ops.ball_query_calibrated — the window width each SA level would need for
-the windowed query to be bit-exact. Prints per-level span statistics and a
-suggested window (max over sampled batches x a safety margin, rounded up to
-128 lanes).
+ops.ball_query_calibrated / ops.three_nn_calibrated — the window width each
+SA level's ball query and each FP level's 3-NN would need to be bit-exact.
+Prints per-level span statistics and suggested windows (max over sampled
+batches x a safety margin, rounded up to 128 lanes).
 
-The suggestion applies to the FIRST SA level only in practice: deeper
-levels' clouds are already <= any useful window, so ball_query_calibrated
-statically falls back to the full exact kernel there.
+The suggestions bind the LARGEST engaged level in practice (SA1's cloud for
+--bq_window, FP1's coarse cloud for --fp_window): deeper levels' clouds are
+already <= any useful window, so the calibrated ops statically fall back to
+the full exact kernels there.
 
 Usage:
     python tools/bq_window_calibrate.py --data_path dataset/semantic_raw \
         [--config_file semantic.json] [--num_batches 16] [--margin 1.25]
 
-The runtime certificate (Trainer.check_bq_window, sown "bq_window_ok")
-still guards the chosen window on every eval — calibration picks a good
-value, the certificate proves it.
+The runtime certificates (Trainer.check_bq_window: sown "bq_window_ok" +
+"fp_window_ok") still guard the chosen windows on every eval — calibration
+picks good values, the certificates prove them.
 """
 
 import argparse
@@ -46,6 +47,57 @@ def required_window(xyz: np.ndarray, queries: np.ndarray, radius: float) -> int:
         hi = np.searchsorted(xs, qs.max(axis=1) + radius)
         lo_aligned = (lo // _LANES) * _LANES
         worst = max(worst, int((hi - lo_aligned).max()))
+    return worst
+
+
+def required_fp_window(dataset: np.ndarray, queries: np.ndarray, k: int = 3) -> int:
+    """Smallest 128-multiple window certifying exact kNN (knn.py placement).
+
+    Simulates ops.pallas.knn_sliced's centered window placement and its
+    strict certificate (k-th pick < squared x-distance to the nearest
+    excluded column) per candidate width; returns the smallest width that
+    certifies for every query, or the dataset size when none does (the op
+    then statically falls back to the full exact kernel).
+    """
+    b, m, _ = dataset.shape
+    nq = queries.shape[1]
+    tq = min(_LANES, nq)
+    t = max(nq // tq, 1)
+    mpad = int(np.ceil(m / _LANES) * _LANES)
+    worst = _LANES
+    for bi in range(b):
+        order = np.argsort(dataset[bi, :, 0], kind="stable")
+        xsx = dataset[bi, order, 0]
+        qorder = np.argsort(queries[bi, :, 0], kind="stable")
+        qs = queries[bi][qorder][: t * tq].reshape(t, tq, 3)
+        # exact k-th NN squared distance per (sorted) query
+        d2 = ((qs.reshape(-1, 1, 3) - dataset[bi][None]) ** 2).sum(-1)
+        kth = np.sort(d2, axis=1)[:, k - 1].reshape(t, tq)
+        qx = qs[..., 0]
+        mid = (
+            np.searchsorted(xsx, qx.min(axis=1))
+            + np.searchsorted(xsx, qx.max(axis=1))
+        ) // 2
+        need = mpad  # fallback: no width below the cloud size certifies
+        for w in range(_LANES, mpad, _LANES):
+            lo = ((mid - w // 2 + _LANES // 2) // _LANES) * _LANES
+            lo = np.clip(lo, 0, max(mpad - w, 0))
+            xl = xsx[np.clip(lo - 1, 0, m - 1)]
+            xr = xsx[np.clip(lo + w, 0, m - 1)]
+            bl = np.where(
+                (lo > 0)[:, None],
+                np.maximum(qx - xl[:, None], 0.0) ** 2,
+                np.inf,
+            )
+            br = np.where(
+                (lo + w < m)[:, None],
+                np.maximum(xr[:, None] - qx, 0.0) ** 2,
+                np.inf,
+            )
+            if (kth < np.minimum(bl, br)).all():
+                need = w
+                break
+        worst = max(worst, need)
     return worst
 
 
@@ -81,6 +133,7 @@ def main() -> None:
 
     levels = [(i + 1, spec.npoint, spec.radius) for i, spec in enumerate(cfg.sa_layers)]
     spans = {lvl: [] for lvl, _, _ in levels}
+    fp_spans = {lvl: [] for lvl, _, _ in levels}
     fps = jax.jit(ops.fps_centroids, static_argnums=1)
 
     for _ in range(flags.num_batches):
@@ -90,6 +143,9 @@ def main() -> None:
         for lvl, npoint, radius in levels:
             _, centroids = jax.tree.map(np.asarray, fps(cloud, npoint))
             spans[lvl].append(required_window(cloud, centroids, radius))
+            # FP level `lvl` interpolates the centroids' features back onto
+            # `cloud` via exact 3-NN: dataset = centroids, queries = cloud.
+            fp_spans[lvl].append(required_fp_window(centroids, cloud))
             cloud = centroids
 
     print(f"{'level':>5} {'cloud N':>8} {'p50':>6} {'p95':>6} {'max':>6} "
@@ -106,6 +162,25 @@ def main() -> None:
               f"{suggested:>10}{note}")
         n = npoint
 
+    print(f"\nFP 3-NN (dataset = the level's centroids, queries = the "
+          f"level-above cloud):")
+    print(f"{'level':>5} {'cloud M':>8} {'p50':>6} {'p95':>6} {'max':>6} "
+          f"{'suggested':>10}")
+    fp_suggest = 0
+    for lvl, npoint, _ in levels:
+        s = np.array(fp_spans[lvl])
+        # the margin scales the certified width; alignment keeps it a
+        # 128-multiple
+        suggested = int(np.ceil(s.max() * flags.margin / _LANES) * _LANES)
+        note = ""
+        if suggested >= npoint:
+            note = "  (>= cloud size: full exact kernel runs regardless)"
+        elif suggested > fp_suggest:
+            fp_suggest = suggested
+        print(f"{lvl:>5} {npoint:>8} {int(np.percentile(s, 50)):>6} "
+              f"{int(np.percentile(s, 95)):>6} {int(s.max()):>6} "
+              f"{suggested:>10}{note}")
+
     s1 = np.array(spans[1])
     w = int(np.ceil(s1.max() * flags.margin / _LANES) * _LANES)
     if w < cfg.num_point:
@@ -113,6 +188,11 @@ def main() -> None:
     else:
         print("\nwindowing would not engage at SA1 on this data; "
               "omit --bq_window")
+    if fp_suggest:
+        print(f"--fp_window {fp_suggest}")
+    else:
+        print("3-NN windowing would not engage at any FP level on this "
+              "data; omit --fp_window")
 
 
 if __name__ == "__main__":

@@ -85,6 +85,8 @@ def main() -> int:
         )
 
     # three_nn / knn at FP shapes
+    from pointnet2_tpu.ops.pallas import three_nn_sliced
+
     for nq, m in [(8192, 1024), (1024, 256), (256, 64), (64, 16)]:
         t = (rng.rand(8, nq, 3) * 10).astype(np.float32)
         s = (rng.rand(8, m, 3) * 10).astype(np.float32)
@@ -94,6 +96,20 @@ def main() -> int:
             f"three_nn nq={nq} m={m}",
             (np.asarray(gi) == wi).all()
             and np.allclose(np.asarray(gd), wd, rtol=1e-5, atol=1e-6),
+        )
+        # Calibrated-window FP path (round 3): certified => BIT-exact
+        # distances AND indices vs the full kernel's own hardware output
+        # (both kernels use the same difference-form accumulation).
+        # 768 certifies on this 10m-cube density (required ~640 by
+        # tools/bq_window_calibrate.required_fp_window) and still engages
+        # the sliced kernel at the FP1 shape; smaller clouds fall back.
+        w = 768 if m > 768 else m
+        gd2, gi2, ok2 = three_nn_sliced(jnp.asarray(t), jnp.asarray(s), w)
+        check(
+            f"three_nn_sliced nq={nq} m={m} w={w}",
+            bool(ok2)
+            and (np.asarray(gi2) == wi).all()
+            and (np.asarray(gd2) == np.asarray(gd)).all(),
         )
 
     d2, idx = knn_pallas(jnp.asarray(s), jnp.asarray(t), 8)

@@ -46,6 +46,13 @@ def main() -> None:
         "the sown exactness certificate is verified on a validation batch at "
         "every eval epoch and the run aborts if the window is too small",
     )
+    parser.add_argument(
+        "--fp_window",
+        type=int,
+        default=None,
+        help="calibrated 3-NN x-window for the FP decoder levels "
+        "(tools/bq_window_calibrate.py); verified like --bq_window",
+    )
     flags = parser.parse_args()
 
     import jax
@@ -104,6 +111,7 @@ def main() -> None:
         num_classes=train_ds.num_classes,
         accum_steps=flags.accum_steps,
         bq_window=flags.bq_window,
+        fp_window=flags.fp_window,
     )
     state = trainer.init_state(jax.random.PRNGKey(flags.seed or 0))
     if flags.resume:
@@ -204,14 +212,18 @@ def main() -> None:
                 vlosses = []
                 for i in range(num_val_batches):
                     batch = next(val_iter)
-                    if i == 0 and flags.bq_window is not None:
-                        # Verify the calibrated window's exactness
-                        # certificate on real data once per eval epoch;
+                    if i == 0 and (
+                        flags.bq_window is not None
+                        or flags.fp_window is not None
+                    ):
+                        # Verify the calibrated windows' exactness
+                        # certificates on real data once per eval epoch;
                         # a too-small window silently drops neighbors, so
                         # abort rather than train on wrong groupings.
                         if not trainer.check_bq_window(state, batch["points"]):
                             raise ValueError(
-                                f"--bq_window={flags.bq_window} is too small "
+                                f"--bq_window={flags.bq_window} / "
+                                f"--fp_window={flags.fp_window} is too small "
                                 "for this dataset (exactness certificate "
                                 "failed on a validation batch); recalibrate "
                                 "with tools/bq_window_calibrate.py"
