@@ -12,13 +12,15 @@ DEFAULT forward's cost is data-independent (measured identical on gaussian
 clouds, tools/bq_e2e_probe.py), so this choice is timing-neutral for
 comparability with earlier rounds.
 
-The PRODUCTION configuration adds the calibrated ball-query window
-(Trainer(bq_window=3072), tools/bq_window_calibrate.py). Before timing it,
-this script PROVES the configuration exact on the benchmarked workload:
-the in-graph exactness certificate must hold AND the logits must be
-bit-identical to the default exact path. If either fails, the default
-path is timed instead — the headline never reports an unverified fast
-path. See PERFORMANCE.md "Calibrated-window ball query".
+The PRODUCTION configuration adds the calibrated ball-query and 3-NN
+windows (Trainer(bq_window=3072, fp_window=512),
+tools/bq_window_calibrate.py). Before timing, this script PROVES the
+configuration exact on the benchmarked workload: the in-graph exactness
+certificates must hold AND the logits must be bit-identical to the
+default exact path. Candidate configs are tried most-aggressive first
+(bq+fp, then bq-only, then the default exact path) and the first one
+that proves exact is timed — the headline never reports an unverified
+fast path. See PERFORMANCE.md "Calibrated-window ball query".
 
 ``vs_baseline`` divides by a MEASURED same-chip denominator:
 BASELINE_MEASURED.json, produced by tools/baseline_measure.py — the same
@@ -76,14 +78,18 @@ def main() -> None:
     x[..., 3:] = rng.rand(batch_size, cfg.num_point, cfg.point_dim - 3)
     x = jnp.asarray(x)
 
-    # Production config: calibrated ball-query window, timed only after an
-    # in-run exactness proof against the default path on this very data.
-    windowed = Trainer(cfg=cfg, bq_window=3072)
-    use_windowed = bool(windowed.check_bq_window(state, x)) and (
-        np.asarray(windowed._infer_logits(state, x))
-        == np.asarray(trainer._infer_logits(state, x))
-    ).all()
-    timed = windowed if use_windowed else trainer
+    # Production config: calibrated neighbor-op windows, timed only after
+    # an in-run exactness proof against the default path on this very data
+    # (certificates AND logit bit-equality). Most-aggressive config first.
+    reference_logits = np.asarray(trainer._infer_logits(state, x))
+    timed = trainer
+    for kw in ({"bq_window": 3072, "fp_window": 512}, {"bq_window": 3072}):
+        candidate = Trainer(cfg=cfg, **kw)
+        if bool(candidate.check_bq_window(state, x)) and (
+            np.asarray(candidate._infer_logits(state, x)) == reference_logits
+        ).all():
+            timed = candidate
+            break
 
     batch_time = slope_time(
         lambda c: timed._infer_logits(state, c), x, K0=2, K1=12

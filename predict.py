@@ -40,20 +40,25 @@ def main() -> None:
         help="inference compute dtype (bfloat16: production mode, ~99.6%% "
         "label agreement with float32 — see PERFORMANCE.md)",
     )
+    def window_arg(v: str):
+        return v if v == "auto" else int(v)
+
     parser.add_argument(
         "--bq_window",
-        type=int,
+        type=window_arg,
         default=None,
-        help="calibrated ball-query x-window (tools/bq_window_calibrate.py); "
-        "the exactness certificate is verified on the first batch and the "
-        "run aborts if the window is too small for this data",
+        help="calibrated ball-query x-window: an int from "
+        "tools/bq_window_calibrate.py, or 'auto' to self-calibrate from "
+        "scene samples at startup; the exactness certificate is verified "
+        "on the first batch and the run aborts if the window is too small "
+        "for this data",
     )
     parser.add_argument(
         "--fp_window",
-        type=int,
+        type=window_arg,
         default=None,
-        help="calibrated 3-NN x-window for the FP decoder levels "
-        "(tools/bq_window_calibrate.py); verified like --bq_window",
+        help="calibrated 3-NN x-window for the FP decoder levels (int or "
+        "'auto', tools/bq_window_calibrate.py); verified like --bq_window",
     )
     parser.add_argument(
         "--sharded",
@@ -88,6 +93,34 @@ def main() -> None:
         path=cfg.data_path,
         seed=0,
     )
+    if flags.bq_window == "auto" or flags.fp_window == "auto":
+        from pointnet2_tpu.ops.calibrate import calibrate_model_windows
+
+        crng = np.random.RandomState(0)
+
+        def sample_xyz() -> np.ndarray:
+            fd = dataset.list_file_data[crng.randint(len(dataset.list_file_data))]
+            centered, _, _, _ = fd.sample_batch(
+                batch_size=8, num_points_per_sample=cfg.num_point
+            )
+            return centered
+
+        auto_bq, auto_fp = calibrate_model_windows(
+            sa_specs=[(s.npoint, s.radius) for s in cfg.sa_layers],
+            num_point=cfg.num_point,
+            sample_xyz=sample_xyz,
+            num_batches=8,
+        )
+        if flags.bq_window == "auto":
+            flags.bq_window = auto_bq
+        if flags.fp_window == "auto":
+            flags.fp_window = auto_fp
+        print(
+            f"auto window calibration: bq_window={flags.bq_window}, "
+            f"fp_window={flags.fp_window} (None = windowing would not "
+            "engage; full exact kernels run)"
+        )
+
     mesh = None
     if flags.sharded:
         from pointnet2_tpu.parallel import create_mesh

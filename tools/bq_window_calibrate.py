@@ -30,75 +30,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pointnet2_tpu.ops.calibrate import (  # noqa: E402
+    choose_window,
+    required_bq_window,
+    required_fp_window,
+)
+
 _LANES = 128
 
-
-def required_window(xyz: np.ndarray, queries: np.ndarray, radius: float) -> int:
-    """Max columns any 128-query tile must sweep (ballquery.py tile math)."""
-    b, n, _ = xyz.shape
-    m = queries.shape[1]
-    tm = min(_LANES, m)
-    t = max(m // tm, 1)
-    worst = 0
-    for bi in range(b):
-        xs = np.sort(xyz[bi, :, 0])
-        qs = np.sort(queries[bi, :, 0])[: t * tm].reshape(t, tm)
-        lo = np.searchsorted(xs, qs.min(axis=1) - radius)
-        hi = np.searchsorted(xs, qs.max(axis=1) + radius)
-        lo_aligned = (lo // _LANES) * _LANES
-        worst = max(worst, int((hi - lo_aligned).max()))
-    return worst
-
-
-def required_fp_window(dataset: np.ndarray, queries: np.ndarray, k: int = 3) -> int:
-    """Smallest 128-multiple window certifying exact kNN (knn.py placement).
-
-    Simulates ops.pallas.knn_sliced's centered window placement and its
-    strict certificate (k-th pick < squared x-distance to the nearest
-    excluded column) per candidate width; returns the smallest width that
-    certifies for every query, or the dataset size when none does (the op
-    then statically falls back to the full exact kernel).
-    """
-    b, m, _ = dataset.shape
-    nq = queries.shape[1]
-    tq = min(_LANES, nq)
-    t = max(nq // tq, 1)
-    mpad = int(np.ceil(m / _LANES) * _LANES)
-    worst = _LANES
-    for bi in range(b):
-        order = np.argsort(dataset[bi, :, 0], kind="stable")
-        xsx = dataset[bi, order, 0]
-        qorder = np.argsort(queries[bi, :, 0], kind="stable")
-        qs = queries[bi][qorder][: t * tq].reshape(t, tq, 3)
-        # exact k-th NN squared distance per (sorted) query
-        d2 = ((qs.reshape(-1, 1, 3) - dataset[bi][None]) ** 2).sum(-1)
-        kth = np.sort(d2, axis=1)[:, k - 1].reshape(t, tq)
-        qx = qs[..., 0]
-        mid = (
-            np.searchsorted(xsx, qx.min(axis=1))
-            + np.searchsorted(xsx, qx.max(axis=1))
-        ) // 2
-        need = mpad  # fallback: no width below the cloud size certifies
-        for w in range(_LANES, mpad, _LANES):
-            lo = ((mid - w // 2 + _LANES // 2) // _LANES) * _LANES
-            lo = np.clip(lo, 0, max(mpad - w, 0))
-            xl = xsx[np.clip(lo - 1, 0, m - 1)]
-            xr = xsx[np.clip(lo + w, 0, m - 1)]
-            bl = np.where(
-                (lo > 0)[:, None],
-                np.maximum(qx - xl[:, None], 0.0) ** 2,
-                np.inf,
-            )
-            br = np.where(
-                (lo + w < m)[:, None],
-                np.maximum(xr[:, None] - qx, 0.0) ** 2,
-                np.inf,
-            )
-            if (kth < np.minimum(bl, br)).all():
-                need = w
-                break
-        worst = max(worst, need)
-    return worst
+# Back-compat alias (tools/fp_window_probe.py docstring references)
+required_window = required_bq_window
 
 
 def main() -> None:
@@ -166,7 +107,6 @@ def main() -> None:
           f"level-above cloud):")
     print(f"{'level':>5} {'cloud M':>8} {'p50':>6} {'p95':>6} {'max':>6} "
           f"{'suggested':>10}")
-    fp_suggest = 0
     for lvl, npoint, _ in levels:
         s = np.array(fp_spans[lvl])
         # the margin scales the certified width; alignment keeps it a
@@ -175,21 +115,26 @@ def main() -> None:
         note = ""
         if suggested >= npoint:
             note = "  (>= cloud size: full exact kernel runs regardless)"
-        elif suggested > fp_suggest:
-            fp_suggest = suggested
         print(f"{lvl:>5} {npoint:>8} {int(np.percentile(s, 50)):>6} "
               f"{int(np.percentile(s, 95)):>6} {int(s.max()):>6} "
               f"{suggested:>10}{note}")
 
-    s1 = np.array(spans[1])
-    w = int(np.ceil(s1.max() * flags.margin / _LANES) * _LANES)
-    if w < cfg.num_point:
-        print(f"\n--bq_window {w}")
+    # One width per op, safe at every level it engages (ops/calibrate.py)
+    clouds = [cfg.num_point] + [npoint for _, npoint, _ in levels[:-1]]
+    fp_clouds = [npoint for _, npoint, _ in levels]
+    bq = choose_window(
+        [max(spans[lvl]) for lvl, _, _ in levels], clouds, flags.margin
+    )
+    fp = choose_window(
+        [max(fp_spans[lvl]) for lvl, _, _ in levels], fp_clouds, flags.margin
+    )
+    if bq:
+        print(f"\n--bq_window {bq}")
     else:
         print("\nwindowing would not engage at SA1 on this data; "
               "omit --bq_window")
-    if fp_suggest:
-        print(f"--fp_window {fp_suggest}")
+    if fp:
+        print(f"--fp_window {fp}")
     else:
         print("3-NN windowing would not engage at any FP level on this "
               "data; omit --fp_window")

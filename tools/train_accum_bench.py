@@ -10,12 +10,18 @@ splitting a large batch into microbatches should keep large-batch training
 at the small-batch rate.
 
 Usage: python tools/train_accum_bench.py [B[,B...]] [G[,G...]] [bq_window]
-Defaults: B=16,32,64  G=1,2,4  bq_window=None (exact full ball query)
+       [fp_window]
+Defaults: B=16,32,64  G=1,2,4  bq_window=None  fp_window=None (exact full
+ball query / 3-NN)
 
 Data is sampled in the Semantic3D box regime (8 x 8 x 4.9 m uniform) —
 the default path's cost is data-independent (tools/bq_e2e_probe.py), and
-the calibrated-window path (bq_window arg) requires representative data
-for its exactness certificate (asserted before timing).
+the calibrated-window paths (bq_window/fp_window args) require
+representative data for their exactness certificates (asserted before
+timing). Windowed neighbor ops are gradient-exact when certified: the
+indices are integral and the 3-NN distances carry stop_gradient
+(nn/pointnet.py), so the training gradients are bitwise those of the
+exact path.
 """
 
 import sys
@@ -32,8 +38,10 @@ from pointnet2_tpu.train.trainer import Trainer
 from pointnet2_tpu.utils.bench import slope_time
 
 
-def measure(cfg, B, accum, window=None):
-    trainer = Trainer(cfg=cfg, accum_steps=accum, bq_window=window)
+def measure(cfg, B, accum, window=None, fp_window=None):
+    trainer = Trainer(
+        cfg=cfg, accum_steps=accum, bq_window=window, fp_window=fp_window
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     labels = jnp.asarray(rng.randint(1, 9, (B, cfg.num_point)), jnp.int32)
@@ -42,9 +50,9 @@ def measure(cfg, B, accum, window=None):
     x[..., :3] = rng.rand(B, cfg.num_point, 3) * [8.0, 8.0, 4.9]
     x[..., 3:] = rng.rand(B, cfg.num_point, 3)
     x = jnp.asarray(x)
-    if window is not None:
+    if window is not None or fp_window is not None:
         assert trainer.check_bq_window(state, x), (
-            f"bq_window={window} does not fit this data"
+            f"bq_window={window} / fp_window={fp_window} does not fit this data"
         )
     drng = jax.random.PRNGKey(0)
 
@@ -63,15 +71,16 @@ def main():
     bs = [int(b) for b in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["16", "32", "64"])]
     gs = [int(g) for g in (sys.argv[2].split(",") if len(sys.argv) > 2 else ["1", "2", "4"])]
     window = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    fp_window = int(sys.argv[4]) if len(sys.argv) > 4 else None
     cfg = Config()
     print(f"train step (fwd+bwd+Adam+metrics), N={cfg.num_point}, "
-          f"bq_window={window}")
+          f"bq_window={window}, fp_window={fp_window}")
     print(f"{'batch':>6} {'accum':>6} {'micro':>6} {'ms/step':>9} {'M pts/s':>9}")
     for B in bs:
         for g in gs:
             if B % g:
                 continue
-            t = measure(cfg, B, g, window)
+            t = measure(cfg, B, g, window, fp_window)
             rate = B * cfg.num_point / t / 1e6
             print(f"{B:>6} {g:>6} {B // g:>6} {t * 1e3:>9.1f} {rate:>9.2f}")
 

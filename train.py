@@ -38,20 +38,25 @@ def main() -> None:
         help="split each batch into this many microbatches and accumulate "
         "gradients (one optimizer update per batch; ghost-BN moments)",
     )
+    def window_arg(v: str):
+        return v if v == "auto" else int(v)
+
     parser.add_argument(
         "--bq_window",
-        type=int,
+        type=window_arg,
         default=None,
-        help="calibrated ball-query x-window (tools/bq_window_calibrate.py); "
-        "the sown exactness certificate is verified on a validation batch at "
-        "every eval epoch and the run aborts if the window is too small",
+        help="calibrated ball-query x-window: an int from "
+        "tools/bq_window_calibrate.py, or 'auto' to self-calibrate from "
+        "sampled training batches at startup; the sown exactness "
+        "certificate is verified on a validation batch at every eval epoch "
+        "and the run aborts if the window is too small",
     )
     parser.add_argument(
         "--fp_window",
-        type=int,
+        type=window_arg,
         default=None,
-        help="calibrated 3-NN x-window for the FP decoder levels "
-        "(tools/bq_window_calibrate.py); verified like --bq_window",
+        help="calibrated 3-NN x-window for the FP decoder levels (int or "
+        "'auto', tools/bq_window_calibrate.py); verified like --bq_window",
     )
     flags = parser.parse_args()
 
@@ -104,6 +109,27 @@ def main() -> None:
         path=cfg.data_path,
         seed=flags.seed,
     )
+
+    if flags.bq_window == "auto" or flags.fp_window == "auto":
+        from pointnet2_tpu.ops.calibrate import calibrate_model_windows
+
+        auto_bq, auto_fp = calibrate_model_windows(
+            sa_specs=[(s.npoint, s.radius) for s in cfg.sa_layers],
+            num_point=cfg.num_point,
+            sample_xyz=lambda: train_ds.sample_batch_in_all_files(
+                cfg.batch_size
+            )[0][..., :3],
+            num_batches=8,
+        )
+        if flags.bq_window == "auto":
+            flags.bq_window = auto_bq
+        if flags.fp_window == "auto":
+            flags.fp_window = auto_fp
+        logger.log(
+            f"auto window calibration: bq_window={flags.bq_window}, "
+            f"fp_window={flags.fp_window} (None = windowing would not "
+            "engage; full exact kernels run)"
+        )
 
     mesh = create_mesh()
     trainer = Trainer(
