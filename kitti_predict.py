@@ -44,6 +44,26 @@ def main() -> None:
     parser.add_argument("--config_file", default="semantic_no_color.json")
     parser.add_argument("--dates", nargs="+", default=["2011_09_26"])
     parser.add_argument("--drives", nargs="+", default=["0095"])
+
+    def window_arg(v: str):
+        return v if v == "auto" else int(v)
+
+    parser.add_argument(
+        "--bq_window",
+        type=window_arg,
+        default=None,
+        help="calibrated ball-query x-window: an int from "
+        "tools/bq_window_calibrate.py, or 'auto' to self-calibrate from "
+        "frame samples at startup; the exactness certificate is verified "
+        "on the first frame and the run aborts if the window is too small",
+    )
+    parser.add_argument(
+        "--fp_window",
+        type=window_arg,
+        default=None,
+        help="calibrated 3-NN x-window for the FP decoder levels (int or "
+        "'auto'); verified like --bq_window",
+    )
     flags = parser.parse_args()
 
     import jax
@@ -78,11 +98,46 @@ def main() -> None:
         box_size_y=cfg.box_size_y,
     )
 
-    trainer = Trainer(cfg=cfg, num_classes=dataset.num_classes)
+    if flags.bq_window == "auto" or flags.fp_window == "auto":
+        from pointnet2_tpu.ops.calibrate import calibrate_model_windows
+
+        crng = np.random.RandomState(0)
+        frames = dataset.list_file_data
+
+        def sample_xyz() -> np.ndarray:
+            fd = frames[crng.randint(len(frames))]
+            centered, _ = fd.get_batch_of_one_z_box_from_origin(
+                num_points_per_sample=cfg.num_point
+            )
+            return centered.astype(np.float32)
+
+        auto_bq, auto_fp = calibrate_model_windows(
+            sa_specs=[(s.npoint, s.radius) for s in cfg.sa_layers],
+            num_point=cfg.num_point,
+            sample_xyz=sample_xyz,
+            num_batches=min(8, len(frames)),
+        )
+        if flags.bq_window == "auto":
+            flags.bq_window = auto_bq
+        if flags.fp_window == "auto":
+            flags.fp_window = auto_fp
+        print(
+            f"auto window calibration: bq_window={flags.bq_window}, "
+            f"fp_window={flags.fp_window} (None = windowing would not "
+            "engage; full exact kernels run)"
+        )
+
+    trainer = Trainer(
+        cfg=cfg,
+        num_classes=dataset.num_classes,
+        bq_window=flags.bq_window,
+        fp_window=flags.fp_window,
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
     print("Model restored")
 
+    windows_checked = flags.bq_window is None and flags.fp_window is None
     for kitti_file_data in dataset.list_file_data:
         timer = {
             "load_data": 0.0,
@@ -104,6 +159,17 @@ def main() -> None:
         # Fused on-device path: model logits -> argmax -> KNN densify without
         # leaving HBM (the reference fused these in one sess.run graph,
         # kitti_predict.py:30-104). Only the final labels/colors transfer.
+        if not windows_checked:
+            # One-time exactness-certificate check on real frame data: a
+            # too-small window silently drops neighbors.
+            if not trainer.check_bq_window(state, centered.astype(np.float32)):
+                raise ValueError(
+                    f"--bq_window={flags.bq_window} / "
+                    f"--fp_window={flags.fp_window} is too small for this "
+                    "drive (exactness certificate failed); use 'auto' or "
+                    "recalibrate with tools/bq_window_calibrate.py"
+                )
+            windows_checked = True
         sparse_labels_dev = trainer.predict_step(
             state, centered.astype(np.float32)
         ).reshape(-1)

@@ -69,3 +69,52 @@ def test_kitti_predict_cli(rng, tmp_path, monkeypatch):
     labels = load_labels(str(workdir / "result" / "dense" / "0000.labels"))
     assert labels.ndim == 1 and len(labels) > 0
     assert labels.min() >= 0 and labels.max() < 9
+
+
+def test_kitti_predict_cli_auto_windows(rng, tmp_path, monkeypatch, capsys):
+    """--bq_window/--fp_window auto: self-calibration from frame samples,
+    one-time certificate check, and identical output contract."""
+    root = _write_drive(tmp_path, rng, frames=1, n=6000)
+
+    cfg = Config(
+        num_point=512,
+        use_color=0,
+        box_size_x=60.0,
+        box_size_y=20.0,
+        l1_npoint=128,
+        l2_npoint=64,
+        l3_npoint=16,
+        l4_npoint=8,
+    )
+    config_path = tmp_path / "config.json"
+    cfg.to_json(config_path)
+
+    trainer = Trainer(cfg=cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state)
+
+    workdir = tmp_path / "run"
+    workdir.mkdir()
+    monkeypatch.chdir(workdir)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "kitti_predict.py",
+            "--ckpt", str(ckpt),
+            "--kitti_root", str(root),
+            "--config_file", str(config_path),
+            "--save",
+            "--bq_window", "auto",
+            "--fp_window", "auto",
+        ],
+    )
+    import kitti_predict
+
+    kitti_predict.main()
+
+    out = capsys.readouterr().out
+    assert "auto window calibration" in out
+    names = {p.name for p in (workdir / "result" / "dense").iterdir()}
+    assert {"0000.pcd", "0000.labels"} <= names

@@ -75,6 +75,58 @@ def test_predict_cli_bfloat16_mode(rng, tmp_path, monkeypatch):
     assert labels.min() >= 0 and labels.max() < 9
 
 
+def test_predict_cli_auto_windows(rng, tmp_path, monkeypatch, capsys):
+    """predict.py --bq_window/--fp_window auto self-calibrates from scene
+    samples at startup (ops/calibrate.py) and still writes valid artifacts;
+    on the CPU XLA path the windows are advisory so outputs are exact."""
+    data_dir = tmp_path / "scenes"
+    data_dir.mkdir()
+    _fabricate_validation_scenes(data_dir, rng, n=5_000)
+
+    cfg = Config(
+        num_point=512,
+        batch_size=2,
+        data_path=str(data_dir),
+        l1_npoint=128,
+        l2_npoint=64,
+        l3_npoint=16,
+        l4_npoint=8,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.to_json(cfg_path)
+
+    trainer = Trainer(cfg=cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state)
+
+    sparse_dir = tmp_path / "sparse_auto"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "predict.py",
+            "--ckpt", str(ckpt),
+            "--set", "validation",
+            "--config_file", str(cfg_path),
+            "--num_samples", "1",
+            "--batch_size", "2",
+            "--bq_window", "auto",
+            "--fp_window", "auto",
+            "--output_dir", str(sparse_dir),
+        ],
+    )
+    import predict
+
+    predict.main()
+
+    assert "auto window calibration" in capsys.readouterr().out
+    prefix = validation_file_prefixes[0]
+    labels = load_labels(sparse_dir / f"{prefix}.labels")
+    assert len(labels) == cfg.num_point
+    assert labels.min() >= 0 and labels.max() < 9
+
+
 def test_predict_then_interpolate_cli(rng, tmp_path, monkeypatch):
     data_dir = tmp_path / "scenes"
     data_dir.mkdir()
