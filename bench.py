@@ -55,6 +55,37 @@ def _baseline_pps() -> float:
         return FALLBACK_REFERENCE_POINTS_PER_SEC
 
 
+# Candidate production configs, most aggressive first. The first one that
+# PROVES exact on the benchmarked data (certificates + logit bit-equality
+# vs the default exact path) is timed; if none proves, the default is.
+PRODUCTION_CANDIDATES = (
+    {"bq_window": 3072, "fp_window": 512},
+    {"bq_window": 3072},
+)
+
+
+def pick_production_trainer(cfg, trainer, state, x, candidates=None):
+    """Return the fastest Trainer config PROVEN exact on ``x``.
+
+    Exactness proof per candidate: every sown window certificate holds on
+    ``x`` AND the inference logits are bit-identical to ``trainer``'s
+    (the default exact path). Unverified candidates are never returned —
+    the headline never times an unproven fast path.
+    """
+    import numpy as np
+
+    from pointnet2_tpu.train.trainer import Trainer
+
+    reference_logits = np.asarray(trainer._infer_logits(state, x))
+    for kw in candidates if candidates is not None else PRODUCTION_CANDIDATES:
+        candidate = Trainer(cfg=cfg, **kw)
+        if bool(candidate.check_bq_window(state, x)) and (
+            np.asarray(candidate._infer_logits(state, x)) == reference_logits
+        ).all():
+            return candidate
+    return trainer
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -81,15 +112,7 @@ def main() -> None:
     # Production config: calibrated neighbor-op windows, timed only after
     # an in-run exactness proof against the default path on this very data
     # (certificates AND logit bit-equality). Most-aggressive config first.
-    reference_logits = np.asarray(trainer._infer_logits(state, x))
-    timed = trainer
-    for kw in ({"bq_window": 3072, "fp_window": 512}, {"bq_window": 3072}):
-        candidate = Trainer(cfg=cfg, **kw)
-        if bool(candidate.check_bq_window(state, x)) and (
-            np.asarray(candidate._infer_logits(state, x)) == reference_logits
-        ).all():
-            timed = candidate
-            break
+    timed = pick_production_trainer(cfg, trainer, state, x)
 
     batch_time = slope_time(
         lambda c: timed._infer_logits(state, c), x, K0=2, K1=12

@@ -130,6 +130,51 @@ class TestCalibrateModelWindows:
         assert required_fp_window(queries, data) % 128 == 0
 
 
+class TestBenchSelection:
+    """bench.py's production-config pick: only PROVEN-exact configs may be
+    timed; anything that changes the logits must fall through."""
+
+    def _setup(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from pointnet2_tpu.config import Config
+        from pointnet2_tpu.train.trainer import Trainer
+
+        cfg = Config(
+            num_point=512,
+            l1_npoint=128,
+            l2_npoint=64,
+            l3_npoint=32,
+            l4_npoint=16,
+        )
+        trainer = Trainer(cfg=cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.rand(2, cfg.num_point, 6), jnp.float32)
+        return cfg, trainer, state, x
+
+    def test_exact_candidate_is_picked(self, rng):
+        import bench
+
+        cfg, trainer, state, x = self._setup(rng)
+        picked = bench.pick_production_trainer(
+            cfg, trainer, state, x, candidates=({"bq_window": 256},)
+        )
+        assert picked is not trainer and picked.bq_window == 256
+
+    def test_logit_changing_candidate_falls_through(self, rng):
+        import bench
+
+        cfg, trainer, state, x = self._setup(rng)
+        # bf16 inference changes the logits -> must NOT be picked even
+        # though every window certificate trivially holds
+        picked = bench.pick_production_trainer(
+            cfg, trainer, state, x,
+            candidates=({"infer_dtype": "bfloat16"}, {"fp_window": 64}),
+        )
+        assert picked.infer_dtype == "float32" and picked.fp_window == 64
+
+
 class TestAutoCLI:
     @pytest.mark.timeout(600)
     def test_train_cli_auto_windows(self, tmp_path):
