@@ -93,6 +93,31 @@ for _ in range(4):
     lab_collect.append(pred.reshape(-1))
 print(f"[5] sparse inference acc={cm.get_accuracy():.3f} mIoU={cm.get_mean_iou():.3f}")
 
+# 5b. Windowed production mode: auto-calibrate, certify, and prove the
+# labels bit-identical to the default exact path on this data.
+from pointnet2_tpu.ops.calibrate import calibrate_model_windows
+
+bq_w, fp_w = calibrate_model_windows(
+    sa_specs=[(s.npoint, s.radius) for s in cfg.sa_layers],
+    num_point=cfg.num_point,
+    sample_xyz=lambda: make_batch()["points"][..., :3],
+    num_batches=4,
+)
+if bq_w is not None or fp_w is not None:
+    wtr = Trainer(cfg=cfg, bq_window=bq_w, fp_window=fp_w)
+    centered, raw, gt, col = fd.sample_batch(8, cfg.num_point)
+    inp = np.concatenate([centered, col], -1).astype(np.float32)
+    assert wtr.check_bq_window(state, inp), "calibrated window must certify"
+    agree = (
+        np.asarray(wtr.predict_step(state, inp))
+        == np.asarray(trainer.predict_step(state, inp))
+    ).mean()
+    print(f"[5b] windowed mode (bq={bq_w}, fp={fp_w}): certificate ok, "
+          f"label agreement {agree:.6f}")
+    assert agree == 1.0, "certified windowed path must be bit-identical"
+else:
+    print("[5b] windowing does not engage at this scale (exact kernels run)")
+
 # 6. Densify back to the full 200k cloud with the native C++ engine.
 sp = np.concatenate(pts_collect)
 sl = np.concatenate(lab_collect).astype(np.int32)
