@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--out", default="log/soak")
     ap.add_argument("--points_per_scene", type=int, default=80_000)
     ap.add_argument("--accum_steps", type=int, default=1)
+    ap.add_argument("--bq_window", default=None,
+                    help="int or 'auto' — forwarded to train.py")
+    ap.add_argument("--fp_window", default=None,
+                    help="int or 'auto' — forwarded to train.py")
     args = ap.parse_args()
 
     from pointnet2_tpu.config import Config
@@ -85,6 +89,10 @@ def main():
 
     sys.argv = ["train.py", "--config_file", cfg_path, "--seed", "0",
                 "--accum_steps", str(args.accum_steps)]
+    if args.bq_window is not None:
+        sys.argv += ["--bq_window", str(args.bq_window)]
+    if args.fp_window is not None:
+        sys.argv += ["--fp_window", str(args.fp_window)]
     import train
 
     train.main()
