@@ -58,6 +58,20 @@ def bn_momentum_schedule(cfg: Config):
     return schedule
 
 
+def _diag_ok(diag) -> jnp.ndarray:
+    """AND-reduce every sown window certificate to one bool scalar.
+
+    ``diag`` is the mutated "diagnostics" collection: each calibrated op
+    (ops.ball_query_calibrated / ops.three_nn_calibrated) sows one `ok`
+    certificate per level; True for all of them means every windowed op's
+    outputs this step were bit-identical to the exact kernels'.
+    """
+    flags = jax.tree.leaves(diag)
+    if not flags:
+        return jnp.ones((), jnp.bool_)
+    return jnp.all(jnp.stack([jnp.all(f) for f in flags]))
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -107,9 +121,12 @@ class Trainer:
     bn_accum_rescale: bool = False
     # Calibrated ball-query x-window (PointNet2SemSeg.bq_window): the
     # production fast path for the SA1 radius search. None (default) keeps
-    # the exact full kernel. When set, verify on real batches with
-    # check_bq_window (train.py does at every eval when --bq_window is
-    # given); calibrate with tools/bq_window_calibrate.py.
+    # the exact full kernel. When set, every train step additionally
+    # reports a "window_ok" metric (the AND of all sown certificates for
+    # THAT batch — zero extra device cost, the kernels compute it anyway;
+    # train.py ANDs it across each epoch and aborts on failure), and
+    # check_bq_window verifies a fresh batch on demand (train.py does at
+    # every eval). Calibrate with tools/bq_window_calibrate.py.
     bq_window: Optional[int] = None
     # Calibrated 3-NN x-window for the FP decoder levels
     # (PointNet2SemSeg.fp_window): same contract and verification path as
@@ -149,6 +166,16 @@ class Trainer:
             self.tx = optax.adam(self.lr_schedule)
         else:
             raise ValueError(f"unknown optimizer {self.cfg.optimizer!r}")
+        # Collect the sown window certificates in the train step only when a
+        # window is actually set: the mutable list changes the traced
+        # program, and the default path should stay byte-identical.
+        self._windows_on = (
+            self.bq_window is not None or self.fp_window is not None
+        )
+        self._mutable = (
+            ["batch_stats", "diagnostics"] if self._windows_on
+            else ["batch_stats"]
+        )
         # jit per-instance closures (Trainer itself is not hashable).
         self.train_step = jax.jit(self._train_step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval_step)
@@ -198,14 +225,15 @@ class Trainer:
                 train=True,
                 bn_momentum=bn_momentum,
                 rngs={"dropout": rng},
-                mutable=["batch_stats"],
+                mutable=self._mutable,
             )
             loss = weighted_ce_loss(logits, batch["labels"], batch["weights"])
-            return loss, (logits, mutated["batch_stats"])
+            return loss, (logits, mutated)
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        (loss, (logits, mutated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        new_stats = mutated["batch_stats"]
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         preds = jnp.argmax(logits, axis=-1)
@@ -218,6 +246,10 @@ class Trainer:
             "learning_rate": self.lr_schedule(state.step),
             "bn_decay": bn_momentum,
         }
+        if self._windows_on:
+            # Per-batch exactness certificate for the calibrated windows —
+            # the kernels compute `ok` regardless, so surfacing it is free.
+            metrics["window_ok"] = _diag_ok(mutated.get("diagnostics", {}))
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -256,21 +288,21 @@ class Trainer:
                 train=True,
                 bn_momentum=bn_momentum,
                 rngs={"dropout": mrng},
-                mutable=["batch_stats"],
+                mutable=self._mutable,
             )
             ce_sum, nonzero = weighted_ce_sum(logits, labels, weights)
-            return ce_sum, (logits, nonzero, mutated["batch_stats"])
+            return ce_sum, (logits, nonzero, mutated)
 
         def micro_step(carry, inputs):
-            stats, grad_sum, ce_sum, nz_sum, conf, correct, j = carry
+            stats, grad_sum, ce_sum, nz_sum, conf, correct, wok, j = carry
             mrng = jax.random.fold_in(rng, j)
-            (ce, (logits, nonzero, new_stats)), grads = jax.value_and_grad(
+            (ce, (logits, nonzero, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, stats, inputs["points"], inputs["labels"],
               inputs["weights"], mrng)
             preds = jnp.argmax(logits, axis=-1)
             carry = (
-                new_stats,
+                mutated["batch_stats"],
                 jax.tree.map(jnp.add, grad_sum, grads),
                 ce_sum + ce,
                 nz_sum + nonzero,
@@ -279,6 +311,7 @@ class Trainer:
                 ),
                 correct
                 + jnp.sum((preds == inputs["labels"]).astype(jnp.float32)),
+                jnp.logical_and(wok, _diag_ok(mutated.get("diagnostics", {}))),
                 j + 1,
             )
             return carry, None
@@ -290,11 +323,12 @@ class Trainer:
             jnp.zeros((), jnp.float32),
             jnp.zeros((self.num_classes, self.num_classes), jnp.int32),
             jnp.zeros((), jnp.float32),
+            jnp.ones((), jnp.bool_),
             jnp.zeros((), jnp.int32),
         )
-        (new_stats, grad_sum, ce_sum, nz_sum, conf, correct, _), _ = jax.lax.scan(
-            micro_step, init, xs
-        )
+        (
+            new_stats, grad_sum, ce_sum, nz_sum, conf, correct, wok, _
+        ), _ = jax.lax.scan(micro_step, init, xs)
 
         denom = jnp.maximum(nz_sum, 1.0)
         grads = jax.tree.map(lambda x: x / denom, grad_sum)
@@ -307,6 +341,8 @@ class Trainer:
             "learning_rate": self.lr_schedule(state.step),
             "bn_decay": bn_momentum,
         }
+        if self._windows_on:
+            metrics["window_ok"] = wok
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,

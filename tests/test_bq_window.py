@@ -175,3 +175,43 @@ class TestModelPlumbing:
         state2, metrics = tr.train_step(state, batch, jax.random.PRNGKey(2))
         assert np.isfinite(float(metrics["loss"]))
         assert int(state2.step) == 1
+        # windowed steps must surface the per-batch certificate (the AND of
+        # every sown flag) so train.py can abort at the epoch boundary
+        assert bool(metrics["window_ok"]) is True
+
+    def _batch(self, rng):
+        return {
+            "points": jnp.asarray(
+                rng.rand(SMALL.batch_size, SMALL.num_point, 6), jnp.float32
+            ),
+            "labels": jnp.asarray(
+                rng.randint(0, 9, (SMALL.batch_size, SMALL.num_point)), jnp.int32
+            ),
+            "weights": jnp.ones((SMALL.batch_size, SMALL.num_point), jnp.float32),
+        }
+
+    def test_train_step_window_ok_metric_accum_and_gating(self, rng):
+        # accum path also reports the certificate (AND over microbatches)...
+        tr = Trainer(cfg=SMALL, fp_window=128, accum_steps=2)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        _, metrics = tr.train_step(state, self._batch(rng), jax.random.PRNGKey(2))
+        assert bool(metrics["window_ok"]) is True
+        # ...and the default (no-window) step's metric pytree is unchanged
+        tr_off = Trainer(cfg=SMALL, accum_steps=2)
+        state_off = tr_off.init_state(jax.random.PRNGKey(0))
+        _, m_off = tr_off.train_step(
+            state_off, self._batch(rng), jax.random.PRNGKey(2)
+        )
+        assert "window_ok" not in m_off
+
+    def test_diag_ok_reduction(self):
+        from pointnet2_tpu.train.trainer import _diag_ok
+
+        ok = {"SA_0": {"bq_window_ok": (jnp.ones((), jnp.bool_),)}}
+        bad = {
+            "SA_0": {"bq_window_ok": (jnp.ones((), jnp.bool_),)},
+            "FP_1": {"fp_window_ok": (jnp.zeros((), jnp.bool_),)},
+        }
+        assert bool(_diag_ok(ok)) is True
+        assert bool(_diag_ok(bad)) is False
+        assert bool(_diag_ok({})) is True

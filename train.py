@@ -48,8 +48,9 @@ def main() -> None:
         help="calibrated ball-query x-window: an int from "
         "tools/bq_window_calibrate.py, or 'auto' to self-calibrate from "
         "sampled training batches at startup; the sown exactness "
-        "certificate is verified on a validation batch at every eval epoch "
-        "and the run aborts if the window is too small",
+        "certificate is AND-ed across every train batch (checked at each "
+        "epoch boundary) and verified on a validation batch at every eval "
+        "epoch — the run aborts if the window is ever too small",
     )
     parser.add_argument(
         "--fp_window",
@@ -61,6 +62,7 @@ def main() -> None:
     flags = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from pointnet2_tpu.utils.runtime import setup_compilation_cache
 
@@ -198,6 +200,7 @@ def main() -> None:
             # serializes the pipeline.
             dev_losses = []
             dev_cm = None
+            dev_wok = None
             for i in range(num_train_batches):
                 update_progress(i / max(num_train_batches, 1))
                 batch = next(train_iter)
@@ -208,14 +211,31 @@ def main() -> None:
                     if dev_cm is None
                     else dev_cm + metrics["confusion"]
                 )
+                if "window_ok" in metrics:
+                    dev_wok = (
+                        metrics["window_ok"]
+                        if dev_wok is None
+                        else jnp.logical_and(dev_wok, metrics["window_ok"])
+                    )
                 last_metrics = metrics
             update_progress(1.0)
             print()
-            import jax.numpy as jnp
-
             losses = np.asarray(jnp.stack(dev_losses)) if dev_losses else np.zeros(1)
             if dev_cm is not None:
                 cm.increment_from_matrix(dev_cm)
+            if dev_wok is not None and not bool(dev_wok):
+                # The kernels' sown exactness certificates are AND-ed across
+                # every train batch of the epoch on device (free — they are
+                # computed regardless); a failure means some batch's windowed
+                # neighbor query dropped candidates and its gradients were
+                # wrong, so abort rather than keep training on bad groupings.
+                raise ValueError(
+                    f"--bq_window={flags.bq_window} / "
+                    f"--fp_window={flags.fp_window} exactness certificate "
+                    f"failed on a training batch during epoch {epoch}; the "
+                    "window is too small for this data — recalibrate with "
+                    "tools/bq_window_calibrate.py or --bq_window auto"
+                )
             logger.log(f"mean loss: {float(losses.mean()):f}")
             logger.log(f"Overall accuracy : {cm.get_accuracy():f}")
             logger.log(f"Average IoU : {cm.get_mean_iou():f}")
