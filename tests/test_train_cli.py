@@ -117,3 +117,31 @@ def test_train_cli_resume_continues_step(trained):
         sys.argv = old
     resumed = restore_checkpoint(str(base / "log" / "model_autosave"), state)
     assert int(resumed.step) > steps_done
+
+
+def test_train_cli_auto_windows(trained):
+    """--bq_window auto / --fp_window auto: startup self-calibration runs,
+    the chosen widths are logged, and the per-epoch certificate check
+    passes (the windowed train path reports window_ok every step)."""
+    base, cfg_path = trained
+    logdir = str(base / "log_autowin")
+    cfg = Config.from_json(cfg_path).replace(logdir=logdir)
+    cfg_path2 = base / "cfg_autowin.json"
+    cfg.to_json(cfg_path2)
+
+    argv = [
+        "train.py", "--config_file", str(cfg_path2), "--seed", "0",
+        "--max_epoch", "1", "--bq_window", "auto", "--fp_window", "auto",
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        import train
+
+        train.main()
+    finally:
+        sys.argv = old
+    text = (base / "log_autowin" / "log_train.txt").read_text()
+    assert "auto window calibration" in text
+    # a completed epoch means no certificate abort was raised
+    assert "mean loss" in text
