@@ -55,7 +55,7 @@ def main() -> None:
         help="calibrated ball-query x-window: an int from "
         "tools/bq_window_calibrate.py, or 'auto' to self-calibrate from "
         "frame samples at startup; the exactness certificate is verified "
-        "on the first frame and the run aborts if the window is too small",
+        "on every frame and the run aborts if the window is too small",
     )
     parser.add_argument(
         "--fp_window",
@@ -137,7 +137,7 @@ def main() -> None:
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
     print("Model restored")
 
-    windows_checked = flags.bq_window is None and flags.fp_window is None
+    windows_off = flags.bq_window is None and flags.fp_window is None
     for kitti_file_data in dataset.list_file_data:
         timer = {
             "load_data": 0.0,
@@ -159,20 +159,26 @@ def main() -> None:
         # Fused on-device path: model logits -> argmax -> KNN densify without
         # leaving HBM (the reference fused these in one sess.run graph,
         # kitti_predict.py:30-104). Only the final labels/colors transfer.
-        if not windows_checked:
-            # One-time exactness-certificate check on real frame data: a
-            # too-small window silently drops neighbors.
-            if not trainer.check_bq_window(state, centered.astype(np.float32)):
+        if windows_off:
+            sparse_labels_dev = trainer.predict_step(
+                state, centered.astype(np.float32)
+            ).reshape(-1)
+        else:
+            # Per-frame exactness certificate (free — the windowed kernels
+            # compute it regardless): a too-small window silently drops
+            # neighbors, so abort on the exact frame that violated it.
+            sparse_labels_dev, ok = trainer.predict_step_checked(
+                state, centered.astype(np.float32)
+            )
+            if not bool(ok):
                 raise ValueError(
                     f"--bq_window={flags.bq_window} / "
                     f"--fp_window={flags.fp_window} is too small for this "
-                    "drive (exactness certificate failed); use 'auto' or "
-                    "recalibrate with tools/bq_window_calibrate.py"
+                    "drive (exactness certificate failed on frame "
+                    f"{kitti_file_data.file_path_without_ext}); use 'auto' "
+                    "or recalibrate with tools/bq_window_calibrate.py"
                 )
-            windows_checked = True
-        sparse_labels_dev = trainer.predict_step(
-            state, centered.astype(np.float32)
-        ).reshape(-1)
+            sparse_labels_dev = sparse_labels_dev.reshape(-1)
         dense_labels_dev, dense_colors_dev = densify_labels_device(
             raw.reshape(-1, 3).astype(np.float32),
             sparse_labels_dev,

@@ -180,6 +180,7 @@ class Trainer:
         self.train_step = jax.jit(self._train_step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval_step)
         self.predict_step = jax.jit(self._predict_step)
+        self.predict_step_checked = jax.jit(self._predict_step_checked)
 
     # -- state ------------------------------------------------------------
 
@@ -351,8 +352,13 @@ class Trainer:
         )
         return new_state, metrics
 
-    def _infer_logits(self, state: TrainState, points: jax.Array) -> jax.Array:
-        """Eval-mode forward, batch-chunked for HBM locality (see infer_chunk)."""
+    def _infer_logits_ok(self, state: TrainState, points: jax.Array):
+        """Eval-mode forward, batch-chunked for HBM locality (see infer_chunk).
+
+        Returns ``(logits, ok)``: ``ok`` is the AND of every sown window
+        certificate across all chunks (constant True when no window is set —
+        XLA prunes it when the caller drops it).
+        """
         params, batch_stats = state.params, state.batch_stats
         if self.infer_model is not self.model:
             # bf16 mode: fold eval BN into the linear layers in f32 so the
@@ -364,25 +370,39 @@ class Trainer:
             params, batch_stats = fold_batch_norm(params, batch_stats)
 
         def forward(x):
-            return self.infer_model.apply(
+            if self._windows_on:
+                logits, diag = self.infer_model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x,
+                    train=False,
+                    bn_momentum=0.9,
+                    mutable=["diagnostics"],
+                )
+                return logits, _diag_ok(diag.get("diagnostics", {}))
+            logits = self.infer_model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 x,
                 train=False,
                 bn_momentum=0.9,
             )
+            return logits, jnp.ones((), jnp.bool_)
 
         b = points.shape[0]
         chunk = self.infer_chunk
         if chunk and 0 < chunk < b and b % chunk == 0:
             xs = points.reshape(b // chunk, chunk, *points.shape[1:])
-            return jax.lax.map(forward, xs).reshape(b, points.shape[1], -1)
+            logits, oks = jax.lax.map(forward, xs)
+            return logits.reshape(b, points.shape[1], -1), jnp.all(oks)
         return forward(points)
 
+    def _infer_logits(self, state: TrainState, points: jax.Array) -> jax.Array:
+        return self._infer_logits_ok(state, points)[0]
+
     def _eval_step(self, state: TrainState, batch: dict):
-        logits = self._infer_logits(state, batch["points"])
+        logits, ok = self._infer_logits_ok(state, batch["points"])
         loss = weighted_ce_loss(logits, batch["labels"], batch["weights"])
         preds = jnp.argmax(logits, axis=-1)
-        return {
+        metrics = {
             "loss": loss,
             "accuracy": jnp.mean((preds == batch["labels"]).astype(jnp.float32)),
             "confusion": confusion_matrix_jax(
@@ -390,11 +410,24 @@ class Trainer:
             ),
             "preds": preds,
         }
+        if self._windows_on:
+            metrics["window_ok"] = ok
+        return metrics
 
     def _predict_step(self, state: TrainState, points: jax.Array):
         """Inference logits -> argmax labels (predict.py:65-91)."""
         logits = self._infer_logits(state, points)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def _predict_step_checked(self, state: TrainState, points: jax.Array):
+        """Like predict_step, plus the window exactness certificate.
+
+        ``(labels, ok)``: ok False means some calibrated window dropped
+        candidates on THIS batch and the labels may differ from the exact
+        kernels' — callers should abort and recalibrate (predict.py does).
+        """
+        logits, ok = self._infer_logits_ok(state, points)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), ok
 
     def check_bq_window(self, state: TrainState, points: jax.Array) -> bool:
         """Verify the calibrated ball-query window on a real batch.

@@ -50,8 +50,8 @@ def main() -> None:
         help="calibrated ball-query x-window: an int from "
         "tools/bq_window_calibrate.py, or 'auto' to self-calibrate from "
         "scene samples at startup; the exactness certificate is verified "
-        "on the first batch and the run aborts if the window is too small "
-        "for this data",
+        "on every predicted batch and the run aborts if the window is too "
+        "small for this data",
     )
     parser.add_argument(
         "--fp_window",
@@ -179,22 +179,28 @@ def main() -> None:
                 from pointnet2_tpu.parallel import shard_batch
 
                 device_inputs = shard_batch(device_inputs, mesh)
-            if (
-                flags.bq_window is not None or flags.fp_window is not None
-            ) and not getattr(main, "_bq_checked", False):
-                # One-time exactness-certificate check on real data: a
-                # too-small window silently drops neighbors.
-                if not trainer.check_bq_window(state, device_inputs):
+            if flags.bq_window is not None or flags.fp_window is not None:
+                # Per-batch exactness certificate (free — the windowed
+                # kernels compute it regardless): a too-small window
+                # silently drops neighbors, so abort on the exact batch
+                # that violated it rather than write wrong labels.
+                pred_dev, ok = trainer.predict_step_checked(
+                    state, device_inputs
+                )
+                if not bool(ok):
                     raise ValueError(
                         f"--bq_window={flags.bq_window} / "
                         f"--fp_window={flags.fp_window} is too small for "
-                        "this dataset (exactness certificate failed); "
-                        "recalibrate with tools/bq_window_calibrate.py"
+                        "this dataset (exactness certificate failed on "
+                        f"batch {batch_index} of "
+                        f"{file_data.file_path_without_ext}); recalibrate "
+                        "with tools/bq_window_calibrate.py"
                     )
-                main._bq_checked = True
-            pred = np.asarray(
-                trainer.predict_step(state, device_inputs)
-            )[:current]
+                pred = np.asarray(pred_dev)[:current]
+            else:
+                pred = np.asarray(
+                    trainer.predict_step(state, device_inputs)
+                )[:current]
             print(f"Batch size: {current}, time: {time.time() - s}")
 
             points_collector.extend(raw)

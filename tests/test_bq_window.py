@@ -204,6 +204,22 @@ class TestModelPlumbing:
         )
         assert "window_ok" not in m_off
 
+    def test_predict_step_checked_and_eval_certificates(self, rng):
+        tr = Trainer(cfg=SMALL, bq_window=256, fp_window=128)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        batch = self._batch(rng)
+        labels, ok = tr.predict_step_checked(state, batch["points"])
+        assert bool(ok) is True
+        np.testing.assert_array_equal(
+            np.asarray(labels), np.asarray(tr.predict_step(state, batch["points"]))
+        )
+        em = tr.eval_step(state, batch)
+        assert bool(em["window_ok"]) is True
+        # no-window eval metrics stay unchanged
+        tr_off = Trainer(cfg=SMALL)
+        state_off = tr_off.init_state(jax.random.PRNGKey(0))
+        assert "window_ok" not in tr_off.eval_step(state_off, batch)
+
     def test_diag_ok_reduction(self):
         from pointnet2_tpu.train.trainer import _diag_ok
 

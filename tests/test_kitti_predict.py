@@ -118,3 +118,58 @@ def test_kitti_predict_cli_auto_windows(rng, tmp_path, monkeypatch, capsys):
     assert "auto window calibration" in out
     names = {p.name for p in (workdir / "result" / "dense").iterdir()}
     assert {"0000.pcd", "0000.labels"} <= names
+
+
+def test_kitti_predict_cli_window_certificate_abort(rng, tmp_path, monkeypatch):
+    """A failed per-frame window exactness certificate aborts the run with
+    an error naming the offending frame (the certificate is forced False at
+    the trainer seam — on the CPU XLA path the real windows are advisory)."""
+    import jax.numpy as jnp
+    import pytest
+
+    root = _write_drive(tmp_path, rng, frames=1, n=6000)
+
+    cfg = Config(
+        num_point=512,
+        use_color=0,
+        box_size_x=60.0,
+        box_size_y=20.0,
+        l1_npoint=128,
+        l2_npoint=64,
+        l3_npoint=16,
+        l4_npoint=8,
+    )
+    config_path = tmp_path / "config.json"
+    cfg.to_json(config_path)
+
+    trainer = Trainer(cfg=cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state)
+
+    orig = Trainer._predict_step_checked
+
+    def failing(self, state, points):
+        labels, _ = orig(self, state, points)
+        return labels, jnp.zeros((), jnp.bool_)
+
+    monkeypatch.setattr(Trainer, "_predict_step_checked", failing)
+
+    workdir = tmp_path / "run"
+    workdir.mkdir()
+    monkeypatch.chdir(workdir)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "kitti_predict.py",
+            "--ckpt", str(ckpt),
+            "--kitti_root", str(root),
+            "--config_file", str(config_path),
+            "--bq_window", "512",
+        ],
+    )
+    import kitti_predict
+
+    with pytest.raises(ValueError, match="certificate failed on frame"):
+        kitti_predict.main()

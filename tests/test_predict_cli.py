@@ -127,6 +127,62 @@ def test_predict_cli_auto_windows(rng, tmp_path, monkeypatch, capsys):
     assert labels.min() >= 0 and labels.max() < 9
 
 
+def test_predict_cli_window_certificate_abort(rng, tmp_path, monkeypatch):
+    """A failed per-batch window exactness certificate aborts the run with
+    an actionable error naming the batch, instead of writing wrong labels.
+    The certificate is forced False at the trainer seam (on the CPU XLA
+    path the real windows are advisory and always certify)."""
+    import jax.numpy as jnp
+    import pytest
+
+    data_dir = tmp_path / "scenes"
+    data_dir.mkdir()
+    _fabricate_validation_scenes(data_dir, rng, n=4_000)
+
+    cfg = Config(
+        num_point=512,
+        batch_size=2,
+        data_path=str(data_dir),
+        l1_npoint=128,
+        l2_npoint=64,
+        l3_npoint=16,
+        l4_npoint=8,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.to_json(cfg_path)
+
+    trainer = Trainer(cfg=cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state)
+
+    orig = Trainer._predict_step_checked
+
+    def failing(self, state, points):
+        labels, _ = orig(self, state, points)
+        return labels, jnp.zeros((), jnp.bool_)
+
+    monkeypatch.setattr(Trainer, "_predict_step_checked", failing)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "predict.py",
+            "--ckpt", str(ckpt),
+            "--set", "validation",
+            "--config_file", str(cfg_path),
+            "--num_samples", "1",
+            "--batch_size", "2",
+            "--bq_window", "256",
+            "--output_dir", str(tmp_path / "sparse_abort"),
+        ],
+    )
+    import predict
+
+    with pytest.raises(ValueError, match="exactness certificate failed on batch"):
+        predict.main()
+
+
 def test_predict_then_interpolate_cli(rng, tmp_path, monkeypatch):
     data_dir = tmp_path / "scenes"
     data_dir.mkdir()

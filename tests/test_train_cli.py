@@ -145,3 +145,76 @@ def test_train_cli_auto_windows(trained):
     assert "auto window calibration" in text
     # a completed epoch means no certificate abort was raised
     assert "mean loss" in text
+
+
+def test_train_cli_train_batch_certificate_abort(trained, monkeypatch):
+    """A failed train-batch window certificate (AND-ed on device across the
+    epoch) aborts at the epoch boundary with an actionable error. Forced
+    False at the trainer seam — on the CPU XLA path real windows always
+    certify."""
+    import jax.numpy as jnp
+
+    from pointnet2_tpu.train.trainer import Trainer
+
+    base, cfg_path = trained
+    cfg = Config.from_json(cfg_path).replace(logdir=str(base / "log_tabort"))
+    cfg_path2 = base / "cfg_tabort.json"
+    cfg.to_json(cfg_path2)
+
+    orig = Trainer._train_step
+
+    def failing(self, state, batch, rng):
+        new_state, metrics = orig(self, state, batch, rng)
+        metrics["window_ok"] = jnp.zeros((), jnp.bool_)
+        return new_state, metrics
+
+    monkeypatch.setattr(Trainer, "_train_step", failing)
+    argv = [
+        "train.py", "--config_file", str(cfg_path2), "--seed", "0",
+        "--max_epoch", "1", "--bq_window", "256",
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        import train
+
+        with pytest.raises(ValueError, match="failed on a training batch"):
+            train.main()
+    finally:
+        sys.argv = old
+
+
+def test_train_cli_eval_certificate_abort(trained, monkeypatch):
+    """A failed validation-batch window certificate aborts the eval epoch
+    with an actionable error (certificates AND-ed on device across eval
+    batches)."""
+    import jax.numpy as jnp
+
+    from pointnet2_tpu.train.trainer import Trainer
+
+    base, cfg_path = trained
+    cfg = Config.from_json(cfg_path).replace(logdir=str(base / "log_eabort"))
+    cfg_path2 = base / "cfg_eabort.json"
+    cfg.to_json(cfg_path2)
+
+    orig = Trainer._eval_step
+
+    def failing(self, state, batch):
+        metrics = orig(self, state, batch)
+        metrics["window_ok"] = jnp.zeros((), jnp.bool_)
+        return metrics
+
+    monkeypatch.setattr(Trainer, "_eval_step", failing)
+    argv = [
+        "train.py", "--config_file", str(cfg_path2), "--seed", "0",
+        "--max_epoch", "1", "--bq_window", "256",
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        import train
+
+        with pytest.raises(ValueError, match="failed on a validation batch"):
+            train.main()
+    finally:
+        sys.argv = old

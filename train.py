@@ -256,30 +256,34 @@ def main() -> None:
                 vcm = ConfusionMatrix(val_ds.num_classes)
                 dev_vcm = None
                 vlosses = []
+                dev_vwok = None
                 for i in range(num_val_batches):
                     batch = next(val_iter)
-                    if i == 0 and (
-                        flags.bq_window is not None
-                        or flags.fp_window is not None
-                    ):
-                        # Verify the calibrated windows' exactness
-                        # certificates on real data once per eval epoch;
-                        # a too-small window silently drops neighbors, so
-                        # abort rather than train on wrong groupings.
-                        if not trainer.check_bq_window(state, batch["points"]):
-                            raise ValueError(
-                                f"--bq_window={flags.bq_window} / "
-                                f"--fp_window={flags.fp_window} is too small "
-                                "for this dataset (exactness certificate "
-                                "failed on a validation batch); recalibrate "
-                                "with tools/bq_window_calibrate.py"
-                            )
                     metrics = trainer.eval_step(state, batch)
                     vlosses.append(metrics["loss"])
                     dev_vcm = (
                         metrics["confusion"]
                         if dev_vcm is None
                         else dev_vcm + metrics["confusion"]
+                    )
+                    if "window_ok" in metrics:
+                        dev_vwok = (
+                            metrics["window_ok"]
+                            if dev_vwok is None
+                            else jnp.logical_and(dev_vwok, metrics["window_ok"])
+                        )
+                if dev_vwok is not None and not bool(dev_vwok):
+                    # Every eval batch's sown exactness certificates are
+                    # AND-ed on device (free — the windowed kernels compute
+                    # them regardless); a too-small window silently drops
+                    # neighbors, so abort rather than validate on wrong
+                    # groupings.
+                    raise ValueError(
+                        f"--bq_window={flags.bq_window} / "
+                        f"--fp_window={flags.fp_window} is too small "
+                        "for this dataset (exactness certificate "
+                        "failed on a validation batch); recalibrate "
+                        "with tools/bq_window_calibrate.py"
                     )
                 if dev_vcm is not None:
                     vcm.increment_from_matrix(dev_vcm)
