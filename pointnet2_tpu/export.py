@@ -50,14 +50,26 @@ def export_model(
     artifact, any batch; runs unchunked). output: "labels" (argmax int32,
     predict.py semantics) or "logits".
 
+    If the trainer has calibrated windows (``bq_window``/``fp_window``),
+    the exported callable returns ``(output, ok)`` — ``ok`` is the sown
+    exactness certificate for the served batch (False means the window
+    dropped neighbor candidates; the server must reject/recalibrate) —
+    and the manifest records ``window_certificate: true`` + the widths.
+
     Writes ``model.stablehlo`` + ``manifest.json`` under ``path`` and
     returns the manifest dict.
     """
     if output not in ("labels", "logits"):
         raise ValueError(f"unknown output {output!r}, expected labels/logits")
     cfg = trainer.cfg
+    # Calibrated-window serving: the artifact must carry the exactness
+    # certificate with it — a served batch outside the calibrated span
+    # would otherwise silently drop neighbors. The exported callable then
+    # returns (output, ok) and the manifest says so.
+    checked = bool(getattr(trainer, "_windows_on", False))
 
     def forward(points):
+        ok = None
         if batch is None:
             # Symbolic batch: apply the model directly — the chunk split
             # needs a concrete batch size (b % chunk), and serving batches
@@ -67,17 +79,30 @@ def export_model(
                 from pointnet2_tpu.nn.fold import fold_batch_norm
 
                 params, batch_stats = fold_batch_norm(params, batch_stats)
-            logits = trainer.infer_model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                points,
-                train=False,
-                bn_momentum=0.9,
-            )
+            variables = {"params": params, "batch_stats": batch_stats}
+            if checked:
+                from pointnet2_tpu.train.trainer import _diag_ok
+
+                logits, diag = trainer.infer_model.apply(
+                    variables,
+                    points,
+                    train=False,
+                    bn_momentum=0.9,
+                    mutable=["diagnostics"],
+                )
+                ok = _diag_ok(diag.get("diagnostics", {}))
+            else:
+                logits = trainer.infer_model.apply(
+                    variables, points, train=False, bn_momentum=0.9
+                )
+        elif checked:
+            logits, ok = trainer._infer_logits_ok(state, points)
         else:
             logits = trainer._infer_logits(state, points)
+        out = logits
         if output == "labels":
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return logits
+            out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (out, ok) if checked else out
 
     if batch is None:
         (b,) = jexport.symbolic_shape("b")
@@ -99,6 +124,9 @@ def export_model(
         "output": output,
         "num_classes": trainer.num_classes,
         "infer_dtype": trainer.infer_dtype,
+        "window_certificate": checked,
+        "bq_window": getattr(trainer, "bq_window", None),
+        "fp_window": getattr(trainer, "fp_window", None),
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
         "artifact_bytes": len(blob),
@@ -113,7 +141,9 @@ def load_exported(path: str):
 
     Requires only jax — no model code or checkpoint. The callable maps
     (batch, num_point, point_dim) f32 points to the exported output and
-    may be wrapped in ``jax.jit`` by the caller.
+    may be wrapped in ``jax.jit`` by the caller. If the manifest says
+    ``window_certificate``, the callable returns ``(output, ok)`` and the
+    server must check ``ok`` per batch.
     """
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)

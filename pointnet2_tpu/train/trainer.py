@@ -124,9 +124,11 @@ class Trainer:
     # the exact full kernel. When set, every train step additionally
     # reports a "window_ok" metric (the AND of all sown certificates for
     # THAT batch — zero extra device cost, the kernels compute it anyway;
-    # train.py ANDs it across each epoch and aborts on failure), and
-    # check_bq_window verifies a fresh batch on demand (train.py does at
-    # every eval). Calibrate with tools/bq_window_calibrate.py.
+    # train.py ANDs it across each epoch's train AND eval batches and
+    # aborts on failure), eval_step reports the same metric,
+    # predict_step_checked returns (labels, ok) for inference CLIs, and
+    # check_bq_window verifies a fresh batch on demand (bench.py gates its
+    # production config on it). Calibrate with tools/bq_window_calibrate.py.
     bq_window: Optional[int] = None
     # Calibrated 3-NN x-window for the FP decoder levels
     # (PointNet2SemSeg.fp_window): same contract and verification path as

@@ -99,3 +99,32 @@ def test_manifest_written(tmp_path, rng):
     assert m["artifact"] == "model.stablehlo"
     assert m["output"] == "labels"
     assert os.path.getsize(os.path.join(out, m["artifact"])) == m["artifact_bytes"]
+
+
+def test_windowed_export_carries_certificate(rng, tmp_path):
+    """Calibrated-window serving: the artifact returns (labels, ok) and the
+    manifest records the widths — a server must check ok per batch. On the
+    CPU XLA path the windows are advisory so ok is constant True and the
+    labels equal the unwindowed export's."""
+    trainer = Trainer(cfg=SMALL, bq_window=256, fp_window=128)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    for batch in (None, 4):
+        out = str(tmp_path / f"export_win_{batch}")
+        manifest = export_model(trainer, state, out, batch=batch, output="labels")
+        assert manifest["window_certificate"] is True
+        assert manifest["bq_window"] == 256 and manifest["fp_window"] == 128
+
+        fn, loaded = load_exported(out)
+        assert loaded["window_certificate"] is True
+        pts = _points(rng, 4)
+        labels, ok = fn(pts)
+        assert bool(ok) is True
+        want = np.asarray(trainer.predict_step(state, pts))
+        np.testing.assert_array_equal(np.asarray(labels), want)
+
+    # unwindowed manifests say so
+    plain, state_p = _trainer_state()
+    out = str(tmp_path / "export_plain")
+    manifest = export_model(plain, state_p, out, batch=4)
+    assert manifest["window_certificate"] is False

@@ -31,6 +31,20 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=0, help="0 = symbolic batch")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--output", default="labels", choices=["labels", "logits"])
+    ap.add_argument(
+        "--bq_window",
+        type=int,
+        default=None,
+        help="calibrated ball-query x-window (tools/bq_window_calibrate.py); "
+        "the exported callable then returns (output, ok) with the per-batch "
+        "exactness certificate and the manifest records the width",
+    )
+    ap.add_argument(
+        "--fp_window",
+        type=int,
+        default=None,
+        help="calibrated 3-NN x-window for the FP decoder (see --bq_window)",
+    )
     flags = ap.parse_args()
 
     import jax
@@ -40,7 +54,12 @@ def main() -> None:
     from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
 
     cfg = Config.from_json(flags.config_file)
-    trainer = Trainer(cfg=cfg, infer_dtype=flags.dtype)
+    trainer = Trainer(
+        cfg=cfg,
+        infer_dtype=flags.dtype,
+        bq_window=flags.bq_window,
+        fp_window=flags.fp_window,
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
 
