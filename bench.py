@@ -12,15 +12,17 @@ DEFAULT forward's cost is data-independent (measured identical on gaussian
 clouds, tools/bq_e2e_probe.py), so this choice is timing-neutral for
 comparability with earlier rounds.
 
-The PRODUCTION configuration adds the calibrated ball-query and 3-NN
-windows (Trainer(bq_window=3072, fp_window=512),
-tools/bq_window_calibrate.py). Before timing, this script PROVES the
-configuration exact on the benchmarked workload: the in-graph exactness
-certificates must hold AND the logits must be bit-identical to the
-default exact path. Candidate configs are tried most-aggressive first
-(bq+fp, then bq-only, then the default exact path) and the first one
-that proves exact is timed — the headline never reports an unverified
-fast path. See PERFORMANCE.md "Calibrated-window ball query".
+The PRODUCTION configuration adds the calibrated ball-query window
+(Trainer(bq_window=3072), tools/bq_window_calibrate.py). Before timing,
+this script PROVES the configuration exact on the benchmarked workload:
+the in-graph exactness certificates must hold AND the logits must be
+bit-identical to the default exact path. Candidates are tried in
+measured-preference order and the first one that proves exact is timed —
+the headline never reports an unverified fast path. See PERFORMANCE.md
+"Calibrated-window ball query". The fp_window=512 candidate was measured
+net-NEGATIVE end-to-end once the kNN tq=128 tile fix landed (66.1 ms vs
+54.3 bq-only, tools/fp_window_probe.py) and is deliberately absent here;
+the op remains available as an opt-in (--fp_window).
 
 ``vs_baseline`` divides by a MEASURED same-chip denominator:
 BASELINE_MEASURED.json, produced by tools/baseline_measure.py — the same
@@ -55,11 +57,11 @@ def _baseline_pps() -> float:
         return FALLBACK_REFERENCE_POINTS_PER_SEC
 
 
-# Candidate production configs, most aggressive first. The first one that
+# Candidate production configs, measured-preference order (fastest PROVEN
+# config first — tools/fp_window_probe.py e2e table). The first one that
 # PROVES exact on the benchmarked data (certificates + logit bit-equality
 # vs the default exact path) is timed; if none proves, the default is.
 PRODUCTION_CANDIDATES = (
-    {"bq_window": 3072, "fp_window": 512},
     {"bq_window": 3072},
 )
 
