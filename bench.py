@@ -113,7 +113,8 @@ def main() -> None:
 
     # Production config: calibrated neighbor-op windows, timed only after
     # an in-run exactness proof against the default path on this very data
-    # (certificates AND logit bit-equality). Most-aggressive config first.
+    # (certificates AND logit bit-equality). Candidates are tried in
+    # measured-preference order (see PRODUCTION_CANDIDATES).
     timed = pick_production_trainer(cfg, trainer, state, x)
 
     batch_time = slope_time(

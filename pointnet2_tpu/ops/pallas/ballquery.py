@@ -6,8 +6,11 @@ distance strictly < radius, padding unused slots with the first in-ball
 index; the returned count is capped at `nsample`.
 
 TPU design: one grid program per (batch, query-tile). The full dataset
-coordinates live in VMEM; the (TM, N) squared-distance tile is produced by a
-single MXU matmul (|q|^2 - 2 q.d + |d|^2 expansion) and immediately converted
+coordinates live in VMEM; the (TM, N) squared-distance tile is computed on
+the VPU in the f32 difference form sum((q-d)^2) — NOT the MXU expansion
+|q|^2 - 2 q.d + |d|^2, which cancels catastrophically right at ball
+boundaries and flips in-ball membership (the load-bearing bit-parity
+choice; see the in-kernel comment). The tile is immediately converted
 into integer "keys" (the point's own index when in-ball, else N). The first
 `nsample` in-ball indices are then exactly the `nsample` smallest keys, which
 an unrolled min-extract loop pulls out in ascending (= dataset) order. The
