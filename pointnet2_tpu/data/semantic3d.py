@@ -255,6 +255,13 @@ class SemanticDataset:
             freq = hist.astype(np.float32) / hist.sum()
             self.label_weights = (1.0 / np.log(1.2 + freq)).astype(np.float32)
         else:
+            # Reference quirk, preserved deliberately
+            # (dataset/semantic_dataset.py:284-285): non-train splits get
+            # all-zero label weights, so any loss computed on validation
+            # batches is identically 0 (SUM_BY_NONZERO_WEIGHTS over zero
+            # weights). Eval quality is judged from the confusion matrix
+            # (accuracy/mIoU) instead — train.py logs only those for eval,
+            # and Trainer._eval_step documents the always-zero loss.
             self.label_weights = np.zeros(NUM_CLASSES, np.float32)
 
     @property

@@ -402,6 +402,12 @@ class Trainer:
 
     def _eval_step(self, state: TrainState, batch: dict):
         logits, ok = self._infer_logits_ok(state, batch["points"])
+        # NOTE: on validation batches produced by SemanticDataset this loss
+        # is identically 0 — the reference's non-train splits carry all-zero
+        # label weights (dataset/semantic_dataset.py:284-285, preserved in
+        # data/semantic3d.py), so SUM_BY_NONZERO_WEIGHTS has nothing to sum.
+        # It is returned for callers that feed real weights (tests, custom
+        # eval sets); train.py deliberately logs only eval accuracy/mIoU.
         loss = weighted_ce_loss(logits, batch["labels"], batch["weights"])
         preds = jnp.argmax(logits, axis=-1)
         metrics = {
