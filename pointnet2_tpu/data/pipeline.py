@@ -85,11 +85,20 @@ def device_prefetch(
     host_iter: Iterator,
     sharding: Optional[jax.sharding.Sharding] = None,
     depth: int = 2,
+    put_fn: Optional[Callable] = None,
 ) -> Iterator:
-    """Wrap a host batch iterator so batches are put on device ahead of use."""
+    """Wrap a host batch iterator so batches are put on device ahead of use.
+
+    ``put_fn`` overrides the host->device transfer (e.g. multi-process
+    assembly via parallel.multihost.global_batch_from_local, where each
+    process contributes only its shard of the global batch); default is a
+    plain device_put against ``sharding``.
+    """
     buf: list = []
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         if sharding is None:
             return jax.device_put(batch)
         return jax.tree.map(

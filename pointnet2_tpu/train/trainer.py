@@ -108,8 +108,20 @@ class Trainer:
     # Inference computation dtype: "float32" (parity default) or
     # "bfloat16" (production mode: MLP activations + interpolation matmul
     # in bf16; geometry ops and logits stay f32; same f32 checkpoints).
-    # Training always runs f32. Accuracy delta measured in PERFORMANCE.md.
+    # Accuracy delta measured in PERFORMANCE.md.
     infer_dtype: str = "float32"
+    # Training computation dtype: "float32" (parity default) or "bfloat16"
+    # (mixed precision, the standard TPU training configuration the
+    # reference has no equivalent of): SharedMLP/Dense matmuls and
+    # activations run in bf16 while everything numerically fragile stays
+    # f32 — master weights and Adam moments (flax param_dtype), BatchNorm
+    # batch moments and EMA stats (nn/layers.py casts to f32 in-layer),
+    # geometry ops (fps/ball query/3-NN consume raw f32 xyz), logits (the
+    # head's final Dense promotes to f32), and the CE loss. Gradients are
+    # f32 pytrees (the forward casts params bf16 at use; the cast's
+    # cotangent accumulates in f32). Convergence vs f32 and step time are
+    # measured in PERFORMANCE.md (tools/bf16_train_soak.py artifact).
+    train_dtype: str = "float32"
     # With accum_steps=G the BN EMA advances G times per optimizer step, so
     # the effective per-step decay is momentum**G — faster moving-stat
     # adaptation than the reference's bn_decay calibration as G grows.
@@ -151,6 +163,15 @@ class Trainer:
         else:
             raise ValueError(
                 f"unknown infer_dtype {self.infer_dtype!r}, "
+                "expected 'float32'/'bfloat16'"
+            )
+        if self.train_dtype in ("bfloat16", "bf16"):
+            self.train_model = self.model.clone(compute_dtype=jnp.bfloat16)
+        elif self.train_dtype in ("float32", "f32"):
+            self.train_model = self.model
+        else:
+            raise ValueError(
+                f"unknown train_dtype {self.train_dtype!r}, "
                 "expected 'float32'/'bfloat16'"
             )
         if self.accum_steps < 1:
@@ -222,7 +243,7 @@ class Trainer:
             return self._train_step_accum(state, batch, rng, bn_momentum)
 
         def loss_fn(params):
-            logits, mutated = self.model.apply(
+            logits, mutated = self.train_model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["points"],
                 train=True,
@@ -285,7 +306,7 @@ class Trainer:
         xs = {k: to_micro(v) for k, v in batch.items()}
 
         def loss_fn(params, stats, pts, labels, weights, mrng):
-            logits, mutated = self.model.apply(
+            logits, mutated = self.train_model.apply(
                 {"params": params, "batch_stats": stats},
                 pts,
                 train=True,

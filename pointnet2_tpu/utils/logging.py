@@ -37,6 +37,28 @@ class RunLogger:
         self._scalars.close()
 
 
+class NullLogger:
+    """RunLogger stand-in for non-primary processes in multi-process runs.
+
+    train.py gives every process with jax.process_index() != 0 one of these
+    so only process 0 writes log_train.txt / scalars.jsonl (a multi-process
+    launch must not double-write run artifacts); messages still go to that
+    process's stdout prefixed with its index, for debuggability.
+    """
+
+    def __init__(self, process_index: int = 0):
+        self._prefix = f"[proc {process_index}] "
+
+    def log(self, msg: str) -> None:
+        print(self._prefix + msg)
+
+    def scalars(self, step: int, tag: str, **values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def update_progress(progress, bar_length: int = 10) -> None:
     """In-place console progress bar (role of the reference's train.py:55-77).
 

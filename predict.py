@@ -63,13 +63,42 @@ def main() -> None:
     parser.add_argument(
         "--sharded",
         action="store_true",
-        help="batch-parallel inference over ALL visible devices (1-D ICI "
+        help="batch-parallel inference over all LOCAL devices (1-D ICI "
         "mesh; batch_size must divide by the device count). The forward "
         "is sharded by XLA SPMD — params replicated, batch split.",
+    )
+    parser.add_argument(
+        "--dist_coordinator",
+        default=None,
+        help="host:port of process 0 for jax.distributed; enables "
+        "multi-process inference — scenes are partitioned round-robin "
+        "across processes (each writes its own scenes' outputs; the "
+        "final confusion matrix is all-gathered and printed by process 0)",
+    )
+    parser.add_argument(
+        "--dist_num_processes",
+        type=int,
+        default=None,
+        help="total process count for jax.distributed",
+    )
+    parser.add_argument(
+        "--dist_process_id",
+        type=int,
+        default=None,
+        help="this process's index in [0, dist_num_processes)",
     )
     flags = parser.parse_args()
 
     import jax
+
+    from pointnet2_tpu.parallel.multihost import maybe_initialize_distributed
+
+    # Must precede any device access (including the compilation-cache setup).
+    maybe_initialize_distributed(
+        flags.dist_coordinator, flags.dist_num_processes, flags.dist_process_id
+    )
+    nproc = jax.process_count()
+    pid = jax.process_index()
 
     from pointnet2_tpu.utils.runtime import setup_compilation_cache
 
@@ -125,7 +154,11 @@ def main() -> None:
     if flags.sharded:
         from pointnet2_tpu.parallel import create_mesh
 
-        mesh = create_mesh()
+        # LOCAL devices only: each process predicts a different scene subset
+        # (divergent per-process dispatch), so the SPMD programs must never
+        # span processes; cross-process work meets only at the final
+        # confusion-matrix all-gather.
+        mesh = create_mesh(jax.local_devices())
         if flags.batch_size % len(mesh.devices.flat):
             parser.error(
                 f"--sharded: batch_size {flags.batch_size} must divide by "
@@ -155,8 +188,15 @@ def main() -> None:
     batch_size = flags.batch_size
     cm = ConfusionMatrix(dataset.num_classes)
 
-    for file_data in dataset.list_file_data:
-        print(f"Processing {file_data.file_path_without_ext}")
+    # Multi-process: round-robin scene partition; distinct output filenames
+    # per scene make the shared output_dir write-conflict-free.
+    my_scenes = (
+        dataset.list_file_data[pid::nproc] if nproc > 1
+        else dataset.list_file_data
+    )
+    for file_data in my_scenes:
+        print(f"Processing {file_data.file_path_without_ext}"
+              + (f" (process {pid})" if nproc > 1 else ""))
         points_collector: list[np.ndarray] = []
         pd_labels_collector: list[np.ndarray] = []
 
@@ -218,7 +258,22 @@ def main() -> None:
         print(f"Exported sparse labels to {labels_path}")
 
     if flags.set != "test":
-        cm.print_metrics()
+        if nproc > 1:
+            # One synchronized collective at the very end: every process
+            # contributes its scenes' confusion matrix; process 0 prints
+            # the global metrics (identical to a single-process run over
+            # all scenes — the matrix is a sum over points).
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                np.asarray(cm.confusion_matrix, np.int64)
+            )
+            if pid == 0:
+                total = ConfusionMatrix(dataset.num_classes)
+                total.increment_from_matrix(gathered.sum(axis=0))
+                total.print_metrics()
+        else:
+            cm.print_metrics()
 
 
 if __name__ == "__main__":

@@ -121,6 +121,68 @@ class TestCheckpoint:
         assert int(restored.step) == 1
 
 
+class TestBF16Train:
+    """Mixed-precision training mode (Trainer.train_dtype='bfloat16'):
+    bf16 MLP compute, f32 master weights/Adam moments/BN stats/loss."""
+
+    def test_loss_decreases_and_master_state_stays_f32(self, rng):
+        trainer = Trainer(cfg=TINY, train_dtype="bfloat16")
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY)
+        drng = jax.random.PRNGKey(42)
+        first = None
+        for i in range(12):
+            state, metrics = trainer.train_step(state, dict(batch), drng)
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.9, (first, last)
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.batch_stats):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.opt_state):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+
+    def test_first_step_tracks_f32(self, rng):
+        """One optimizer step from identical init: the bf16 step must move
+        the parameters in the same direction/magnitude as the f32 step
+        (loose bound — bf16 has ~3 decimal digits)."""
+        batch = _synthetic_batch(rng, TINY)
+        drng = jax.random.PRNGKey(7)
+        states = {}
+        losses = {}
+        for dt in ("float32", "bfloat16"):
+            tr = Trainer(cfg=TINY, train_dtype=dt)
+            st = tr.init_state(jax.random.PRNGKey(0))
+            st, m = tr.train_step(st, dict(batch), drng)
+            states[dt], losses[dt] = st, float(m["loss"])
+        assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=0.05)
+        diffs, norms = [], []
+        for a, b in zip(
+            jax.tree.leaves(states["float32"].params),
+            jax.tree.leaves(states["bfloat16"].params),
+        ):
+            diffs.append(float(jnp.sum((a - b) ** 2)))
+            norms.append(float(jnp.sum(a**2)))
+        rel = np.sqrt(sum(diffs) / max(sum(norms), 1e-30))
+        assert rel < 0.05, f"bf16 first-step params diverge: rel {rel:.4f}"
+
+    def test_accum_path_runs_bf16(self, rng):
+        trainer = Trainer(cfg=TINY, train_dtype="bfloat16", accum_steps=4)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY)
+        state, m = trainer.train_step(state, dict(batch), jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        assert int(m["confusion"].sum()) == TINY.batch_size * TINY.num_point
+
+    def test_invalid_dtype_rejected(self):
+        with pytest.raises(ValueError, match="train_dtype"):
+            Trainer(cfg=TINY, train_dtype="float16")
+
+
 def _assert_cm_near_equal(cm_a, cm_b):
     """Confusion matrices from sharded vs single-device executions of the
     SAME step. SPMD compilation reassociates reductions (BN batch-moment

@@ -10,9 +10,9 @@ splitting a large batch into microbatches should keep large-batch training
 at the small-batch rate.
 
 Usage: python tools/train_accum_bench.py [B[,B...]] [G[,G...]] [bq_window]
-       [fp_window]
+       [fp_window] [train_dtype]
 Defaults: B=16,32,64  G=1,2,4  bq_window=None  fp_window=None (exact full
-ball query / 3-NN)
+ball query / 3-NN)  train_dtype=float32 ('bfloat16' = mixed precision)
 
 Data is sampled in the Semantic3D box regime (8 x 8 x 4.9 m uniform) —
 the default path's cost is data-independent (tools/bq_e2e_probe.py), and
@@ -38,9 +38,10 @@ from pointnet2_tpu.train.trainer import Trainer
 from pointnet2_tpu.utils.bench import slope_time
 
 
-def measure(cfg, B, accum, window=None, fp_window=None):
+def measure(cfg, B, accum, window=None, fp_window=None, train_dtype="float32"):
     trainer = Trainer(
-        cfg=cfg, accum_steps=accum, bq_window=window, fp_window=fp_window
+        cfg=cfg, accum_steps=accum, bq_window=window, fp_window=fp_window,
+        train_dtype=train_dtype,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
@@ -70,17 +71,21 @@ def measure(cfg, B, accum, window=None, fp_window=None):
 def main():
     bs = [int(b) for b in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["16", "32", "64"])]
     gs = [int(g) for g in (sys.argv[2].split(",") if len(sys.argv) > 2 else ["1", "2", "4"])]
-    window = int(sys.argv[3]) if len(sys.argv) > 3 else None
-    fp_window = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    def opt_int(v):
+        return None if v in ("None", "none", "-") else int(v)
+
+    window = opt_int(sys.argv[3]) if len(sys.argv) > 3 else None
+    fp_window = opt_int(sys.argv[4]) if len(sys.argv) > 4 else None
+    train_dtype = sys.argv[5] if len(sys.argv) > 5 else "float32"
     cfg = Config()
     print(f"train step (fwd+bwd+Adam+metrics), N={cfg.num_point}, "
-          f"bq_window={window}, fp_window={fp_window}")
+          f"bq_window={window}, fp_window={fp_window}, dtype={train_dtype}")
     print(f"{'batch':>6} {'accum':>6} {'micro':>6} {'ms/step':>9} {'M pts/s':>9}")
     for B in bs:
         for g in gs:
             if B % g:
                 continue
-            t = measure(cfg, B, g, window, fp_window)
+            t = measure(cfg, B, g, window, fp_window, train_dtype)
             rate = B * cfg.num_point / t / 1e6
             print(f"{B:>6} {g:>6} {B // g:>6} {t * 1e3:>9.1f} {rate:>9.2f}")
 

@@ -53,6 +53,8 @@ def main():
                     help="int or 'auto' — forwarded to train.py")
     ap.add_argument("--fp_window", default=None,
                     help="int or 'auto' — forwarded to train.py")
+    ap.add_argument("--train_dtype", default=None,
+                    help="float32/bfloat16 — forwarded to train.py")
     args = ap.parse_args()
 
     from pointnet2_tpu.config import Config
@@ -93,6 +95,8 @@ def main():
         sys.argv += ["--bq_window", str(args.bq_window)]
     if args.fp_window is not None:
         sys.argv += ["--fp_window", str(args.fp_window)]
+    if args.train_dtype is not None:
+        sys.argv += ["--train_dtype", str(args.train_dtype)]
     import train
 
     train.main()

@@ -8,7 +8,12 @@ step on a data-parallel mesh, async host prefetch instead of mp.Queue
 Python loop (train.py:249-251), orbax checkpoints instead of tf.train.Saver.
 
 Extra flags (not in the reference): --resume to continue from a checkpoint,
---max_epoch / --data_path overrides, --seed.
+--max_epoch / --data_path overrides, --seed, and multi-process scale-out via
+--dist_coordinator/--dist_num_processes/--dist_process_id (the reference is
+single-GPU, train.py:333-339; here N processes x M local devices form one
+global data-parallel mesh — each process feeds its shard of the global
+batch, XLA all-reduces gradients, and only process 0 writes logs while
+checkpoints are written collectively through orbax's multi-process path).
 """
 
 from __future__ import annotations
@@ -59,10 +64,83 @@ def main() -> None:
         help="calibrated 3-NN x-window for the FP decoder levels (int or "
         "'auto', tools/bq_window_calibrate.py); verified like --bq_window",
     )
+    parser.add_argument(
+        "--train_dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="training compute dtype: bfloat16 = mixed precision (bf16 "
+        "MLP matmuls/activations; f32 master weights, BN stats, geometry "
+        "ops, logits, loss — see Trainer.train_dtype); checkpoints stay "
+        "f32 either way",
+    )
+    parser.add_argument(
+        "--dist_coordinator",
+        default=None,
+        help="host:port of process 0 for jax.distributed; enables "
+        "multi-process training (all processes form ONE global "
+        "data-parallel mesh over their combined devices)",
+    )
+    parser.add_argument(
+        "--dist_num_processes",
+        type=int,
+        default=None,
+        help="total process count for jax.distributed (with "
+        "--dist_coordinator/--dist_process_id)",
+    )
+    parser.add_argument(
+        "--dist_process_id",
+        type=int,
+        default=None,
+        help="this process's index in [0, dist_num_processes)",
+    )
+    parser.add_argument(
+        "--dist_sampling",
+        choices=["sharded", "replicated"],
+        default="sharded",
+        help="multi-process batch assembly: 'sharded' (default) = each "
+        "process samples only its batch_size/num_processes shard with a "
+        "process-decorrelated seed (host sampling cost scales out); "
+        "'replicated' = every process draws the SAME global batch from an "
+        "identically-seeded deterministic sampler and contributes only its "
+        "rows — bit-identical batches to a single-process run with the "
+        "same seed (requires --seed; forces --num_workers 1 so the batch "
+        "order is deterministic across processes)",
+    )
+    parser.add_argument(
+        "--num_workers",
+        type=int,
+        default=None,
+        help="batch-producer sampler threads (default: cpu count; forced "
+        "to 1 by --dist_sampling replicated)",
+    )
     flags = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    from pointnet2_tpu.parallel.multihost import (
+        barrier,
+        global_batch_from_local,
+        local_rows,
+        maybe_initialize_distributed,
+        replicate_state_on_mesh,
+    )
+
+    # Must precede any device access (including the compilation-cache setup).
+    maybe_initialize_distributed(
+        flags.dist_coordinator, flags.dist_num_processes, flags.dist_process_id
+    )
+    nproc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if flags.dist_sampling == "replicated" and nproc > 1:
+        if flags.seed is None:
+            parser.error("--dist_sampling replicated requires --seed (every "
+                         "process must draw the same global batches)")
+        # One sampler thread per producer keeps the batch ORDER deterministic
+        # across processes; with several threads each process would assemble
+        # its slice from a differently-ordered stream — silently inconsistent
+        # global batches.
+        flags.num_workers = 1
 
     from pointnet2_tpu.utils.runtime import setup_compilation_cache
 
@@ -81,7 +159,11 @@ def main() -> None:
         restore_checkpoint,
         save_checkpoint,
     )
-    from pointnet2_tpu.utils.logging import RunLogger, update_progress
+    from pointnet2_tpu.utils.logging import (
+        NullLogger,
+        RunLogger,
+        update_progress,
+    )
     from pointnet2_tpu.utils.metrics import ConfusionMatrix
 
     cfg = Config.from_json(flags.config_file)
@@ -89,10 +171,28 @@ def main() -> None:
         cfg = cfg.replace(max_epoch=flags.max_epoch)
     if flags.data_path is not None:
         cfg = cfg.replace(data_path=flags.data_path)
+    if cfg.batch_size % nproc:
+        parser.error(
+            f"batch_size {cfg.batch_size} must divide by the process count "
+            f"{nproc} (each process feeds batch_size/num_processes samples)"
+        )
 
-    logger = RunLogger(cfg.logdir)
-    logger.log(f"devices: {jax.devices()}")
+    # Only process 0 writes log_train.txt / scalars.jsonl / TensorBoard
+    # exports; a multi-process launch must not double-write run artifacts.
+    logger = (
+        RunLogger(cfg.logdir) if is_main else NullLogger(jax.process_index())
+    )
+    logger.log(
+        f"devices: {jax.devices()}"
+        + (f" ({nproc} processes)" if nproc > 1 else "")
+    )
 
+    # "sharded" distributed sampling: decorrelate each process's draw stream
+    # (its shard is an independent sample of the same distribution);
+    # "replicated": identical seeds so every process draws the same batches.
+    ds_seed = flags.seed
+    if nproc > 1 and flags.dist_sampling == "sharded" and flags.seed is not None:
+        ds_seed = flags.seed + 9973 * jax.process_index()
     train_ds = SemanticDataset(
         num_points_per_sample=cfg.num_point,
         split=flags.train_set,
@@ -100,7 +200,7 @@ def main() -> None:
         box_size_y=cfg.box_size_y,
         use_color=bool(cfg.use_color),
         path=cfg.data_path,
-        seed=flags.seed,
+        seed=ds_seed,
     )
     val_ds = SemanticDataset(
         num_points_per_sample=cfg.num_point,
@@ -109,7 +209,7 @@ def main() -> None:
         box_size_y=cfg.box_size_y,
         use_color=bool(cfg.use_color),
         path=cfg.data_path,
-        seed=flags.seed,
+        seed=ds_seed,
     )
 
     if flags.bq_window == "auto" or flags.fp_window == "auto":
@@ -123,6 +223,22 @@ def main() -> None:
             )[0][..., :3],
             num_batches=8,
         )
+        if nproc > 1:
+            # Every process must trace the SAME program: take the max
+            # calibrated window across processes (a larger window is a
+            # superset — anything the smaller certifies, it certifies).
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                np.array([
+                    -1 if auto_bq is None else auto_bq,
+                    -1 if auto_fp is None else auto_fp,
+                ], np.int64)
+            )
+            auto_bq = int(gathered[:, 0].max())
+            auto_fp = int(gathered[:, 1].max())
+            auto_bq = None if auto_bq < 0 else auto_bq
+            auto_fp = None if auto_fp < 0 else auto_fp
         if flags.bq_window == "auto":
             flags.bq_window = auto_bq
         if flags.fp_window == "auto":
@@ -140,14 +256,20 @@ def main() -> None:
         accum_steps=flags.accum_steps,
         bq_window=flags.bq_window,
         fp_window=flags.fp_window,
+        train_dtype=flags.train_dtype,
     )
     state = trainer.init_state(jax.random.PRNGKey(flags.seed or 0))
     if flags.resume:
         state = restore_checkpoint(os.path.abspath(flags.resume), state)
         # orbax restores arrays COMMITTED to one device; re-place them
         # replicated over the mesh or the jitted step rejects the mix with
-        # the mesh-sharded batches
-        state = jax.device_put(state, replicated_sharding(mesh))
+        # the mesh-sharded batches. Multi-process: device_put cannot target
+        # non-addressable devices, so each process contributes its full
+        # local copy (identical checkpoint bytes on every process).
+        if nproc > 1:
+            state = replicate_state_on_mesh(state, mesh)
+        else:
+            state = jax.device_put(state, replicated_sharding(mesh))
         logger.log(f"resumed from {flags.resume} at step {int(state.step)}")
     dropout_rng = jax.random.PRNGKey((flags.seed or 0) + 1)
 
@@ -172,23 +294,81 @@ def main() -> None:
     if num_val_batches == 0:
         logger.log("validation split yields 0 batches; skipping eval epochs")
 
+    # Per-process sampler size: "replicated" draws the full global batch on
+    # every process (and contributes only its rows at put time); "sharded"
+    # draws just this process's shard.
+    if nproc > 1 and flags.dist_sampling == "sharded":
+        sample_bs = cfg.batch_size // nproc
+    else:
+        sample_bs = cfg.batch_size
+    train_workers = (
+        flags.num_workers
+        if flags.num_workers is not None
+        else max(os.cpu_count() or 1, 2)
+    )
+    val_workers = min(2, train_workers)
     train_producer = BatchProducer(
-        lambda: to_named(train_ds.sample_batch_in_all_files(cfg.batch_size, True)),
+        lambda: to_named(train_ds.sample_batch_in_all_files(sample_bs, True)),
         max_queue=16,
-        num_workers=max(os.cpu_count() or 1, 2),
+        num_workers=train_workers,
     )
     val_producer = BatchProducer(
-        lambda: to_named(val_ds.sample_batch_in_all_files(cfg.batch_size, False)),
+        lambda: to_named(val_ds.sample_batch_in_all_files(sample_bs, False)),
         max_queue=8,
-        num_workers=2,
+        num_workers=val_workers,
     )
     # H2D overlap: batches are transferred to HBM (sharded over the mesh)
     # while the previous step computes, so the TPU never waits on the host
     # (replaces the reference's feed_dict transfer inside the hot loop,
     # train.py:225-244).
     sharding = batch_sharding(mesh)
-    train_iter = device_prefetch(train_producer, sharding=sharding, depth=2)
-    val_iter = device_prefetch(val_producer, sharding=sharding, depth=2)
+    if nproc > 1:
+        # Multi-process assembly: each process contributes its rows of the
+        # global batch (make_array_from_process_local_data under the hood).
+        if flags.dist_sampling == "replicated":
+            put_fn = lambda b: global_batch_from_local(local_rows(b), mesh)
+        else:
+            put_fn = lambda b: global_batch_from_local(b, mesh)
+        train_iter = device_prefetch(train_producer, put_fn=put_fn, depth=2)
+        val_iter = device_prefetch(val_producer, put_fn=put_fn, depth=2)
+    else:
+        train_iter = device_prefetch(train_producer, sharding=sharding, depth=2)
+        val_iter = device_prefetch(val_producer, sharding=sharding, depth=2)
+
+    if nproc > 1:
+        # Prime the collective contexts while the processes are aligned:
+        # Gloo's context handshake has a hard 30 s timeout, and the jitted
+        # steps dispatch asynchronously — without this, a fast process
+        # enqueues a whole epoch and opens the handshake while a slow
+        # process is still in a cold-cache compile (observed: the first
+        # multi-process CLI run died exactly this way). Rendezvous on the
+        # coordination-service barrier (10 min timeout), run ONE throwaway
+        # train + eval step on a zero batch (compiles both programs AND
+        # creates the Gloo contexts with every process in lockstep), then
+        # re-align before the real loop.
+        barrier("pn2:before_prime")
+        local_bs = cfg.batch_size // nproc
+        dummy = global_batch_from_local(
+            {
+                "points": np.zeros(
+                    (local_bs, cfg.num_point, cfg.point_dim), np.float32
+                ),
+                "labels": np.zeros((local_bs, cfg.num_point), np.int32),
+                "weights": np.zeros((local_bs, cfg.num_point), np.float32),
+            },
+            mesh,
+        )
+        # train_step donates its state arg: prime on a copy and discard.
+        prime_state = jax.tree.map(jnp.copy, state)
+        jax.block_until_ready(
+            trainer.train_step(prime_state, dummy, dropout_rng)
+        )
+        if num_val_batches > 0:
+            jax.block_until_ready(trainer.eval_step(state, dummy))
+        del prime_state, dummy
+        barrier("pn2:after_prime")
+        logger.log("multi-process priming done (train/eval compiled, "
+                   "collective contexts live)")
 
     best_acc = 0.0
     try:
@@ -202,7 +382,8 @@ def main() -> None:
             dev_cm = None
             dev_wok = None
             for i in range(num_train_batches):
-                update_progress(i / max(num_train_batches, 1))
+                if is_main:
+                    update_progress(i / max(num_train_batches, 1))
                 batch = next(train_iter)
                 state, metrics = trainer.train_step(state, batch, dropout_rng)
                 dev_losses.append(metrics["loss"])
@@ -218,8 +399,9 @@ def main() -> None:
                         else jnp.logical_and(dev_wok, metrics["window_ok"])
                     )
                 last_metrics = metrics
-            update_progress(1.0)
-            print()
+            if is_main:
+                update_progress(1.0)
+                print()
             losses = np.asarray(jnp.stack(dev_losses)) if dev_losses else np.zeros(1)
             if dev_cm is not None:
                 cm.increment_from_matrix(dev_cm)
