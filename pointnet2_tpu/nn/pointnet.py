@@ -218,6 +218,62 @@ class SetAbstraction(nn.Module):
         # difference (measured: logits off by ~50% when this ran in bf16).
         # The cast to compute_dtype happens after bn0 normalizes scale.
         fps_idx, new_xyz = ops.fps_centroids(xyz, self.npoint, impl=self.ops_impl)
+
+        # Fused windowed grouping (EVAL only): the calibrated ball query and
+        # the zp gather share one x-sorted pass — the gather rides two
+        # contiguous block DMAs per query tile instead of per-row lookups
+        # (1.9x the XLA gather at the SA1 shape, ops/pallas/wingather.py).
+        # The grouped tensor comes back in sorted-QUERY order; every
+        # per-centroid op below is order-covariant in eval mode (BN uses
+        # moving stats), so we un-permute only the pooled output — values
+        # stay bit-identical to the exact path. Train keeps the raw-gather
+        # path (narrow C: the windowed kernel loses there — probe), and
+        # train-mode BN batch moments would reassociate under permutation.
+        fused_window = (
+            self.bq_window is not None
+            and not self.use_knn
+            and not train
+            and self.pooling != "weighted_avg"
+        )
+        inv_q = None
+        if fused_window:
+            grouped, idx, _cnt, qperm, inv_q, ok = ops.project_group_calibrated(
+                inputs, w, b, xyz, new_xyz, self.radius, self.nsample,
+                self.bq_window, impl=self.ops_impl,
+            )
+            self.sow("diagnostics", "bq_window_ok", ok)
+            if self.use_xyz:
+                centers = (
+                    new_xyz if inv_q is None
+                    else jnp.take_along_axis(new_xyz, qperm[..., None], axis=1)
+                )
+                zq = centers @ w[:3]  # centers' xyz projection (no bias)
+                grouped = grouped - zq[:, :, None, :]
+            h = grouped
+            if self.use_bn:
+                h = BatchNorm(name="bn0")(h, train=train, momentum=bn_momentum)
+            h = nn.relu(h)
+            if self.compute_dtype is not None:
+                h = h.astype(self.compute_dtype)
+            if len(self.mlp) > 1:
+                h = SharedMLP(
+                    self.mlp[1:],
+                    use_bn=self.use_bn,
+                    dtype=self.compute_dtype,
+                    name="mlp_rest",
+                )(h, train=train, bn_momentum=bn_momentum)
+            new_points = _pool(h, None, self.pooling)
+            if inv_q is not None:
+                new_points = jnp.take_along_axis(
+                    new_points, inv_q[..., None], axis=1
+                )
+            if self.mlp2:
+                new_points = SharedMLP(
+                    self.mlp2, use_bn=self.use_bn, dtype=self.compute_dtype,
+                    name="mlp2",
+                )(new_points, train=train, bn_momentum=bn_momentum)
+            return new_xyz, new_points, idx
+
         if self.use_knn:
             _, idx = ops.knn(xyz, new_xyz, self.nsample, impl=self.ops_impl)
         else:

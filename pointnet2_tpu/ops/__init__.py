@@ -35,6 +35,7 @@ from pointnet2_tpu.ops.pallas import (
     fps_centroids_pallas_diff,
     knn_pallas,
     knn_sliced,
+    project_group_sliced,
     three_interpolate_pallas,
     three_nn_pallas,
     three_nn_sliced,
@@ -49,6 +50,7 @@ __all__ = [
     "ball_query_calibrated",
     "group_points",
     "project_group_leaf",
+    "project_group_calibrated",
     "knn",
     "knn_calibrated",
     "select_top_k",
@@ -134,6 +136,38 @@ def ball_query_calibrated(
         return ball_query_sliced(xyz1, xyz2, radius, nsample, window)
     idx, cnt = ball_query_xla(xyz1, xyz2, radius, nsample)
     return idx, cnt, jax.numpy.ones((), bool)
+
+
+def project_group_calibrated(
+    inputs, w0, b0, xyz, new_xyz, radius: float, nsample: int, window: int,
+    impl: str | None = None,
+):
+    """Fused project + calibrated ball query + windowed grouped gather.
+
+    The production SA1 eval path: equals
+    ``group_points(inputs @ w0 + b0, ball_query(xyz, new_xyz, ...))`` but
+    on TPU the gather rides two contiguous block DMAs per query tile
+    instead of per-row HBM lookups (1.9x the XLA gather at the SA1 shape —
+    ops/pallas/wingather.py). Returns
+    ``(grouped, idx, cnt, qperm, inv_q, ok)``; when ``qperm`` is not None
+    the grouped tensor (only) is in x-sorted-query order — keep per-centroid
+    work in that order and un-permute the pooled result with ``inv_q``
+    (SetAbstraction._pre_projected does). ``idx``/``cnt`` are always in
+    original query order; ``ok`` is the ball_query_calibrated certificate.
+
+    On the XLA path (CPU/GPU) the window is ignored: exact query + plain
+    gather, original order (qperm/inv_q None), ok constant True.
+    """
+    if _use_pallas(impl):
+        return project_group_sliced(
+            inputs, w0, b0, xyz, new_xyz, radius, nsample, window
+        )
+    idx, cnt = ball_query_xla(xyz, new_xyz, radius, nsample)
+    zp = inputs @ w0 + b0
+    return (
+        group_points(zp, idx), idx, cnt, None, None,
+        jax.numpy.ones((), bool),
+    )
 
 
 def knn(xyz1, xyz2, k: int, impl: str | None = None):

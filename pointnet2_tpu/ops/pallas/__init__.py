@@ -16,6 +16,7 @@ from pointnet2_tpu.ops.pallas.ballquery import (
     ball_query_windowed,
 )
 from pointnet2_tpu.ops.pallas.interpolate import three_interpolate_pallas
+from pointnet2_tpu.ops.pallas.wingather import project_group_sliced
 from pointnet2_tpu.ops.pallas.knn import (
     knn_pallas,
     knn_sliced,
@@ -30,6 +31,7 @@ __all__ = [
     "ball_query_pallas",
     "ball_query_sliced",
     "ball_query_windowed",
+    "project_group_sliced",
     "knn_pallas",
     "knn_sliced",
     "three_nn_pallas",
