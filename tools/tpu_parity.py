@@ -84,6 +84,43 @@ def main() -> int:
             and (np.asarray(gc3) == wc).all(),
         )
 
+    # Fused windowed grouping (round 4): calibrated ball query with
+    # position-carrying keys + block-DMA gather (ops/pallas/wingather.py).
+    # grouped must be BIT-identical rows of the same on-device projection
+    # gathered by the oracle's indices (both matmuls run at the backend's
+    # default precision, so rows are comparable bitwise).
+    from pointnet2_tpu.ops.pallas import project_group_sliced
+
+    for n, m, r in [(8192, 1024, 0.5), (2048, 256, 0.5)]:
+        xyz1 = (rng.rand(4, n, 3) * [10, 10, 5]).astype(np.float32)
+        xyz2 = np.stack(
+            [x[rng.choice(n, m, replace=False)] for x in xyz1]
+        ).astype(np.float32)
+        inputs = rng.rand(4, n, 6).astype(np.float32)
+        inputs[..., :3] = xyz1
+        w0 = (rng.randn(6, 32) * 0.1).astype(np.float32)
+        b0 = (rng.randn(32) * 0.1).astype(np.float32)
+        w = 4096 if n > 4096 else 1536
+        g_s, gidx, gcnt, qperm, inv_q, okw = project_group_sliced(
+            jnp.asarray(inputs), jnp.asarray(w0), jnp.asarray(b0),
+            jnp.asarray(xyz1), jnp.asarray(xyz2), r, 32, w,
+        )
+        wi, wc = reference.ball_query_np(xyz1, xyz2, r, 32)
+        zp = np.asarray(jnp.asarray(inputs) @ jnp.asarray(w0) + jnp.asarray(b0))
+        want_g = np.take_along_axis(
+            zp, wi.reshape(4, m * 32)[..., None], axis=1
+        ).reshape(4, m, 32, 32)
+        got_g = np.take_along_axis(
+            np.asarray(g_s), np.asarray(inv_q)[..., None, None], axis=1
+        )
+        check(
+            f"project_group_sliced n={n} m={m} w={w}",
+            bool(okw)
+            and (np.asarray(gidx) == wi).all()
+            and (np.asarray(gcnt) == wc).all()
+            and (got_g == want_g).all(),
+        )
+
     # three_nn / knn at FP shapes
     from pointnet2_tpu.ops.pallas import three_nn_sliced
 
