@@ -36,6 +36,9 @@ import jax.numpy as jnp
 from pointnet2_tpu.config import Config
 from pointnet2_tpu.train.trainer import Trainer
 from pointnet2_tpu.utils.bench import slope_time
+from pointnet2_tpu.utils.runtime import setup_compilation_cache
+
+setup_compilation_cache()
 
 
 def measure(cfg, B, accum, window=None, fp_window=None, train_dtype="float32"):

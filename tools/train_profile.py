@@ -7,6 +7,11 @@ train shape and writes the same per-op table, so backward-pass hotspots
 (gather transposes / scatter-adds, BN backward) are visible.
 
 Usage: python tools/train_profile.py [--batch 16] [--accum 1]
+       [--bq_window W] [--fp_window W] [--train_dtype bfloat16]
+
+Points are drawn in the Semantic3D box regime (8 x 8 x 4.9 m uniform) so
+the calibrated-window paths are representative; their exactness
+certificate is asserted before tracing (window args require it).
 """
 
 import argparse
@@ -23,6 +28,9 @@ import jax.numpy as jnp
 from pointnet2_tpu.config import Config
 from pointnet2_tpu.train.trainer import Trainer
 from pointnet2_tpu.utils import xplane
+from pointnet2_tpu.utils.runtime import setup_compilation_cache
+
+setup_compilation_cache()
 
 
 def main():
@@ -31,21 +39,28 @@ def main():
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--trace_dir", default="result/jax-trace-train")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--bq_window", type=int, default=None)
+    ap.add_argument("--fp_window", type=int, default=None)
+    ap.add_argument("--train_dtype", default="float32")
     args = ap.parse_args()
 
     print("backend:", jax.default_backend())
     cfg = Config(batch_size=args.batch)
-    trainer = Trainer(cfg=cfg, accum_steps=args.accum)
+    trainer = Trainer(
+        cfg=cfg, accum_steps=args.accum, bq_window=args.bq_window,
+        fp_window=args.fp_window, train_dtype=args.train_dtype,
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     B = args.batch
 
     def batch(i):
         r = np.random.RandomState(i)
+        x = np.zeros((B, cfg.num_point, cfg.point_dim), np.float32)
+        x[..., :3] = r.rand(B, cfg.num_point, 3) * [8.0, 8.0, 4.9]
+        x[..., 3:] = r.rand(B, cfg.num_point, cfg.point_dim - 3)
         return {
-            "points": jnp.asarray(
-                r.randn(B, cfg.num_point, cfg.point_dim), jnp.float32
-            ),
+            "points": jnp.asarray(x),
             "labels": jnp.asarray(
                 rng.randint(1, 9, (B, cfg.num_point)), jnp.int32
             ),
@@ -53,6 +68,10 @@ def main():
         }
 
     drng = jax.random.PRNGKey(0)
+    if args.bq_window is not None or args.fp_window is not None:
+        assert trainer.check_bq_window(state, batch(0)["points"]), (
+            "window does not fit this data regime"
+        )
     # warm up (compile) outside the trace
     state, m = trainer.train_step(state, batch(0), drng)
     float(m["loss"])
