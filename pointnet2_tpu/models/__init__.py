@@ -1,6 +1,7 @@
 from pointnet2_tpu.models.pointnet2_seg import (
     PointNet2SemSeg,
     PointNet2SemSegMSG,
+    precompute_geometry,
     weighted_ce_loss,
     weighted_ce_sum,
 )
@@ -8,6 +9,7 @@ from pointnet2_tpu.models.pointnet2_seg import (
 __all__ = [
     "PointNet2SemSeg",
     "PointNet2SemSegMSG",
+    "precompute_geometry",
     "weighted_ce_loss",
     "weighted_ce_sum",
 ]

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pointnet2_tpu import ops
 from pointnet2_tpu.config import Config
 from pointnet2_tpu.nn.layers import BatchNorm
 from pointnet2_tpu.nn.pointnet import (
@@ -71,7 +72,10 @@ class PointNet2SemSeg(nn.Module):
     fp_window: Optional[int] = None
 
     @nn.compact
-    def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
+    def __call__(
+        self, point_cloud, *, train: bool = False, bn_momentum=0.9,
+        geometry=None,
+    ):
         cfg = self.config or Config()
         if self.use_color:
             l0_xyz = point_cloud[..., :3]
@@ -97,7 +101,10 @@ class PointNet2SemSeg(nn.Module):
                 compute_dtype=self.compute_dtype,
                 bq_window=self.bq_window,
                 name=f"sa{i + 1}",
-            )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
+            )(
+                xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum,
+                geometry=None if geometry is None else geometry["sa"][i],
+            )
             xyzs.append(new_xyz)
             feats.append(new_points)
 
@@ -117,6 +124,7 @@ class PointNet2SemSeg(nn.Module):
                 feats[lvl + 1],
                 train=train,
                 bn_momentum=bn_momentum,
+                geometry=None if geometry is None else geometry["fp"][i],
             )
 
         net = nn.Dense(
@@ -134,6 +142,76 @@ class PointNet2SemSeg(nn.Module):
             self.num_classes, kernel_init=nn.initializers.xavier_uniform(), name="fc2"
         )(net)
         return logits
+
+
+def precompute_geometry(
+    point_cloud,
+    *,
+    config: Optional[Config] = None,
+    ops_impl: Optional[str] = None,
+    bq_window: Optional[int] = None,
+    fp_window: Optional[int] = None,
+):
+    """Parameter-independent neighbor structure for PointNet2SemSeg.
+
+    FPS centroids, ball-query groups, and FP-level 3-NN depend only on the
+    input coordinates — never on parameters — so a gradient-accumulation
+    step can compute them ONCE at full batch width and slice per
+    microbatch (``model.apply(..., geometry=...)``). One full-width kernel
+    launch replaces G quarter-width launches, and full-width FPS packs all
+    8 VPU sublanes where a microbatch of 4 leaves half idle
+    (ops/pallas/fps.py) — at the production train config the
+    per-microbatch FPS was 21.5% of the step (artifacts/train-profile-r4).
+
+    Exactness: the geometry math is per-sample batch-independent, so the
+    hoisted step is MATHEMATICALLY identical — measured: indices and
+    centroids bit-identical, accum-step loss and BN batch stats
+    bit-identical (tests/test_train.py hoist tests). It is not bit-exact
+    to the last ulp everywhere: XLA fuses the hoisted three_nn ``dist2``
+    (and the backward) differently from the inline one, so squared
+    distances can differ by ~1 ulp (indices unaffected), and gradients
+    carry ~1e-6-absolute reassociation noise that one Adam step amplifies
+    into last-digit param differences — the same class of noise as any
+    recompilation (see the accumulation oracle test's tolerance note).
+
+    Returns ``(geometry, ok)``: ``geometry`` is a pytree of per-sample
+    arrays (leading batch axis; slice it per microbatch), ``ok`` the AND of
+    the calibrated-window exactness certificates (constant True when both
+    windows are None). Matches the SSG flagship only (the geometry the
+    reference model computes per level, model.py:22-148).
+    """
+    cfg = config or Config()
+    xyz = point_cloud[..., :3].astype(jnp.float32)
+    xyzs = [xyz]
+    sa = []
+    ok = jnp.ones((), bool)
+    for spec in cfg.sa_layers:
+        _, new_xyz = ops.fps_centroids(xyzs[-1], spec.npoint, impl=ops_impl)
+        if bq_window is not None:
+            idx, _, lvl_ok = ops.ball_query_calibrated(
+                xyzs[-1], new_xyz, spec.radius, spec.nsample, bq_window,
+                impl=ops_impl,
+            )
+            ok = jnp.logical_and(ok, lvl_ok)
+        else:
+            idx, _ = ops.ball_query(
+                xyzs[-1], new_xyz, spec.radius, spec.nsample, impl=ops_impl
+            )
+        sa.append({"new_xyz": new_xyz, "idx": idx})
+        xyzs.append(new_xyz)
+
+    fp = []
+    for i in range(len(FP_MLPS)):
+        lvl = 3 - i  # target level: 3, 2, 1, 0 (model.py:90-129)
+        if fp_window is not None:
+            dist2, idx, lvl_ok = ops.three_nn_calibrated(
+                xyzs[lvl], xyzs[lvl + 1], fp_window, impl=ops_impl
+            )
+            ok = jnp.logical_and(ok, lvl_ok)
+        else:
+            dist2, idx = ops.three_nn(xyzs[lvl], xyzs[lvl + 1], impl=ops_impl)
+        fp.append({"dist2": dist2, "idx": idx})
+    return {"sa": tuple(sa), "fp": tuple(fp)}, ok
 
 
 class PointNet2SemSegMSG(nn.Module):

@@ -40,6 +40,7 @@ def sample_and_group(
     use_xyz: bool = True,
     impl: str | None = None,
     ball_query_fn=None,
+    geometry=None,
 ):
     """FPS centroids + ball-query (or kNN) grouping + local normalization.
 
@@ -48,14 +49,20 @@ def sample_and_group(
     (B,npoint,nsample), (B,npoint,nsample,3). ``ball_query_fn`` overrides
     the radius search ((xyz, new_xyz) -> (idx, cnt)) — SetAbstraction uses
     it to route through the calibrated-window query when configured.
+    ``geometry`` supplies precomputed ``{"new_xyz", "idx"}`` (see
+    models.precompute_geometry), skipping FPS and the radius search — the
+    gradient-accumulation hoist computes them ONCE at full batch width.
     """
-    fps_idx, new_xyz = ops.fps_centroids(xyz, npoint, impl=impl)
-    if use_knn:
-        _, idx = ops.knn(xyz, new_xyz, nsample, impl=impl)
-    elif ball_query_fn is not None:
-        idx, _ = ball_query_fn(xyz, new_xyz)
+    if geometry is not None:
+        new_xyz, idx = geometry["new_xyz"], geometry["idx"]
     else:
-        idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample, impl=impl)
+        fps_idx, new_xyz = ops.fps_centroids(xyz, npoint, impl=impl)
+        if use_knn:
+            _, idx = ops.knn(xyz, new_xyz, nsample, impl=impl)
+        elif ball_query_fn is not None:
+            idx, _ = ball_query_fn(xyz, new_xyz)
+        else:
+            idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample, impl=impl)
     grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
     if points is not None:
         grouped_points = ops.group_points(points, idx)
@@ -170,13 +177,13 @@ class SetAbstraction(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, xyz, points, *, train: bool, bn_momentum):
+    def __call__(self, xyz, points, *, train: bool, bn_momentum, geometry=None):
         if self.group_all:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
                 xyz, points, self.use_xyz
             )
         elif self.pre_project and self.mlp and (self.use_xyz or points is not None):
-            return self._pre_projected(xyz, points, train, bn_momentum)
+            return self._pre_projected(xyz, points, train, bn_momentum, geometry)
         else:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group(
                 xyz,
@@ -188,6 +195,7 @@ class SetAbstraction(nn.Module):
                 self.use_xyz,
                 impl=self.ops_impl,
                 ball_query_fn=self._ball_query,
+                geometry=geometry,
             )
 
         new_points = SharedMLP(
@@ -200,7 +208,7 @@ class SetAbstraction(nn.Module):
             )(new_points, train=train, bn_momentum=bn_momentum)
         return new_xyz, new_points, idx
 
-    def _pre_projected(self, xyz, points, train, bn_momentum):
+    def _pre_projected(self, xyz, points, train, bn_momentum, geometry=None):
         f0 = self.mlp[0]
         if points is not None:
             inputs = (
@@ -217,7 +225,17 @@ class SetAbstraction(nn.Module):
         # O(radius) local offset — bf16-rounded operands lose most of the
         # difference (measured: logits off by ~50% when this ran in bf16).
         # The cast to compute_dtype happens after bn0 normalizes scale.
-        fps_idx, new_xyz = ops.fps_centroids(xyz, self.npoint, impl=self.ops_impl)
+        if geometry is not None:
+            # Precomputed geometry (models.precompute_geometry): the
+            # accumulation hoist ran FPS/ball query once at full batch
+            # width; per-sample values are mathematically identical (the
+            # kernels are batch-independent — see the exactness note on
+            # precompute_geometry for the ulp-level caveat).
+            new_xyz = geometry["new_xyz"]
+        else:
+            fps_idx, new_xyz = ops.fps_centroids(
+                xyz, self.npoint, impl=self.ops_impl
+            )
 
         # Fused windowed grouping (EVAL only): the calibrated ball query and
         # the zp gather share one x-sorted pass — the gather rides two
@@ -230,7 +248,8 @@ class SetAbstraction(nn.Module):
         # path (narrow C: the windowed kernel loses there — probe), and
         # train-mode BN batch moments would reassociate under permutation.
         fused_window = (
-            self.bq_window is not None
+            geometry is None
+            and self.bq_window is not None
             and not self.use_knn
             and not train
             and self.pooling != "weighted_avg"
@@ -274,7 +293,9 @@ class SetAbstraction(nn.Module):
                 )(new_points, train=train, bn_momentum=bn_momentum)
             return new_xyz, new_points, idx
 
-        if self.use_knn:
+        if geometry is not None:
+            idx = geometry["idx"]
+        elif self.use_knn:
             _, idx = ops.knn(xyz, new_xyz, self.nsample, impl=self.ops_impl)
         else:
             idx, _ = self._ball_query(xyz, new_xyz)
@@ -417,8 +438,17 @@ class FeaturePropagation(nn.Module):
     fp_window: Optional[int] = None
 
     @nn.compact
-    def __call__(self, xyz1, xyz2, points1, points2, *, train: bool, bn_momentum):
-        if self.fp_window is not None:
+    def __call__(
+        self, xyz1, xyz2, points1, points2, *, train: bool, bn_momentum,
+        geometry=None,
+    ):
+        if geometry is not None:
+            # Precomputed 3-NN (models.precompute_geometry): hoisted out
+            # of the accumulation scan. Indices are exact; dist2 can
+            # differ by ~1 ulp from the inline op (XLA fuses the hoisted
+            # subgraph differently — precompute_geometry's exactness note).
+            dist2, idx = geometry["dist2"], geometry["idx"]
+        elif self.fp_window is not None:
             dist2, idx, ok = ops.three_nn_calibrated(
                 xyz1, xyz2, self.fp_window, impl=self.ops_impl
             )

@@ -23,7 +23,12 @@ from flax import struct
 from flax.core import FrozenDict
 
 from pointnet2_tpu.config import Config
-from pointnet2_tpu.models import PointNet2SemSeg, weighted_ce_loss, weighted_ce_sum
+from pointnet2_tpu.models import (
+    PointNet2SemSeg,
+    precompute_geometry,
+    weighted_ce_loss,
+    weighted_ce_sum,
+)
 from pointnet2_tpu.utils.metrics import confusion_matrix_jax
 
 
@@ -146,6 +151,17 @@ class Trainer:
     # (PointNet2SemSeg.fp_window): same contract and verification path as
     # bq_window (check_bq_window collects BOTH certificates).
     fp_window: Optional[int] = None
+    # With accum_steps > 1: compute the parameter-independent neighbor
+    # structure (FPS/ball query/3-NN — models.precompute_geometry) ONCE at
+    # full batch width before the microbatch scan instead of once per
+    # microbatch: one full-width kernel launch per op instead of G
+    # quarter-width ones, restoring the 8-sublane FPS occupancy narrow
+    # microbatches waste (per-microbatch FPS was 21.5% of the r4
+    # production step). Mathematically identical — loss and BN moments
+    # measure bit-identical; gradients pick up ~1e-6 XLA-fusion
+    # reassociation noise (see models.precompute_geometry's exactness
+    # note). Measured in PERFORMANCE.md "Round 4: geometry hoisting".
+    hoist_geometry: bool = True
 
     def __post_init__(self):
         self.model = PointNet2SemSeg(
@@ -303,9 +319,25 @@ class Trainer:
             # sample i -> (microbatch i % g, slot i // g): strided split.
             return jnp.moveaxis(x.reshape(micro, g, *x.shape[1:]), 1, 0)
 
-        xs = {k: to_micro(v) for k, v in batch.items()}
+        xs = {"batch": {k: to_micro(v) for k, v in batch.items()}}
+        geom_ok = jnp.ones((), jnp.bool_)
+        if self.hoist_geometry:
+            # Neighbor structure is parameter-independent: compute it ONCE
+            # at full batch width (full FPS sublane occupancy) and feed the
+            # per-microbatch slices through the scan. Mathematically
+            # identical to the in-forward ops per sample (ulp caveat on
+            # precompute_geometry); the window certificates (when windows
+            # are on) come from the hoisted ops instead of sows.
+            geom, geom_ok = precompute_geometry(
+                batch["points"],
+                config=self.cfg,
+                ops_impl=self.ops_impl,
+                bq_window=self.bq_window,
+                fp_window=self.fp_window,
+            )
+            xs["geom"] = jax.tree.map(to_micro, geom)
 
-        def loss_fn(params, stats, pts, labels, weights, mrng):
+        def loss_fn(params, stats, pts, labels, weights, mrng, geometry):
             logits, mutated = self.train_model.apply(
                 {"params": params, "batch_stats": stats},
                 pts,
@@ -313,17 +345,19 @@ class Trainer:
                 bn_momentum=bn_momentum,
                 rngs={"dropout": mrng},
                 mutable=self._mutable,
+                geometry=geometry,
             )
             ce_sum, nonzero = weighted_ce_sum(logits, labels, weights)
             return ce_sum, (logits, nonzero, mutated)
 
         def micro_step(carry, inputs):
             stats, grad_sum, ce_sum, nz_sum, conf, correct, wok, j = carry
+            mb = inputs["batch"]
             mrng = jax.random.fold_in(rng, j)
             (ce, (logits, nonzero, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, stats, inputs["points"], inputs["labels"],
-              inputs["weights"], mrng)
+            )(state.params, stats, mb["points"], mb["labels"],
+              mb["weights"], mrng, inputs.get("geom"))
             preds = jnp.argmax(logits, axis=-1)
             carry = (
                 mutated["batch_stats"],
@@ -331,10 +365,10 @@ class Trainer:
                 ce_sum + ce,
                 nz_sum + nonzero,
                 conf + confusion_matrix_jax(
-                    inputs["labels"], preds, self.num_classes
+                    mb["labels"], preds, self.num_classes
                 ),
                 correct
-                + jnp.sum((preds == inputs["labels"]).astype(jnp.float32)),
+                + jnp.sum((preds == mb["labels"]).astype(jnp.float32)),
                 jnp.logical_and(wok, _diag_ok(mutated.get("diagnostics", {}))),
                 j + 1,
             )
@@ -347,7 +381,7 @@ class Trainer:
             jnp.zeros((), jnp.float32),
             jnp.zeros((self.num_classes, self.num_classes), jnp.int32),
             jnp.zeros((), jnp.float32),
-            jnp.ones((), jnp.bool_),
+            geom_ok,
             jnp.zeros((), jnp.int32),
         )
         (

@@ -421,3 +421,102 @@ def test_chunked_inference_matches_unchunked(rng):
         np.asarray(chunked.predict_step(state, x5)),
         np.asarray(mono.predict_step(state, x5)),
     )
+
+
+class TestGeometryHoisting:
+    """Trainer(hoist_geometry=True, default): full-width neighbor ops
+    before the microbatch scan (models.precompute_geometry)."""
+
+    def test_precompute_matches_inline_ops_chain(self, rng):
+        """Centroids/indices bit-equal to the per-level inline chain;
+        dist2 equal up to XLA-fusion ulp noise (the documented caveat)."""
+        from pointnet2_tpu import ops
+        from pointnet2_tpu.models import precompute_geometry
+
+        pts = jnp.asarray(rng.rand(4, TINY.num_point, 6).astype(np.float32))
+        geom, ok = jax.jit(
+            lambda p: precompute_geometry(p, config=TINY)
+        )(pts)
+        assert bool(ok)  # constant True without windows
+
+        xyz = pts[..., :3]
+        for lvl, spec in enumerate(TINY.sa_layers):
+            _, new_xyz = ops.fps_centroids(xyz, spec.npoint)
+            idx, _ = ops.ball_query(xyz, new_xyz, spec.radius, spec.nsample)
+            g = geom["sa"][lvl]
+            np.testing.assert_array_equal(
+                np.asarray(g["new_xyz"]), np.asarray(new_xyz)
+            )
+            np.testing.assert_array_equal(np.asarray(g["idx"]), np.asarray(idx))
+            xyz = new_xyz
+
+    def test_hoisted_step_matches_unhoisted(self, rng):
+        """Same accum step with/without the hoist: loss and BN stats track
+        to reassociation tolerance; the momentum update direction agrees
+        (momentum is linear in the grads, so 1e-6 grad noise stays 1e-6 —
+        a semantic difference registers at O(0.1..1))."""
+        cfg = TINY.replace(optimizer="momentum")
+        hoisted = Trainer(cfg=cfg, accum_steps=2, hoist_geometry=True)
+        inline = Trainer(cfg=cfg, accum_steps=2, hoist_geometry=False)
+        s_h = hoisted.init_state(jax.random.PRNGKey(0))
+        s_i = inline.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, cfg, b=8)
+        p0 = jax.tree.map(np.asarray, s_i.params)
+
+        n_h, m_h = hoisted.train_step(s_h, dict(batch), jax.random.PRNGKey(3))
+        n_i, m_i = inline.train_step(s_i, dict(batch), jax.random.PRNGKey(3))
+
+        assert float(m_h["loss"]) == pytest.approx(float(m_i["loss"]), rel=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(m_h["confusion"]), np.asarray(m_i["confusion"])
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            n_h.batch_stats,
+            n_i.batch_stats,
+        )
+        got = np.concatenate(
+            [(np.asarray(a) - b).ravel()
+             for a, b in zip(jax.tree.leaves(n_h.params), jax.tree.leaves(p0))]
+        )
+        want = np.concatenate(
+            [(np.asarray(a) - b).ravel()
+             for a, b in zip(jax.tree.leaves(n_i.params), jax.tree.leaves(p0))]
+        )
+        norm = np.linalg.norm(want)
+        assert norm > 0
+        assert np.linalg.norm(got - want) / norm < 1e-4
+
+    def test_hoisted_windows_carry_certificates(self, rng):
+        """With calibrated windows the hoisted ops produce the exactness
+        certificates (the in-model sows are skipped); window_ok must still
+        reach the metrics and be True for window >= cloud width."""
+        trainer = Trainer(
+            cfg=TINY, accum_steps=2, hoist_geometry=True,
+            bq_window=4 * TINY.num_point, fp_window=4 * TINY.num_point,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY, b=8)
+        _, metrics = trainer.train_step(state, dict(batch), jax.random.PRNGKey(1))
+        assert "window_ok" in metrics
+        assert bool(metrics["window_ok"])
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_hoist_loss_decreases_bf16(self, rng):
+        trainer = Trainer(
+            cfg=TINY, accum_steps=4, hoist_geometry=True,
+            train_dtype="bfloat16",
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY)
+        drng = jax.random.PRNGKey(42)
+        first = None
+        for i in range(12):
+            state, metrics = trainer.train_step(state, dict(batch), drng)
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.9, (first, last)

@@ -43,6 +43,15 @@ def main() -> None:
         help="split each batch into this many microbatches and accumulate "
         "gradients (one optimizer update per batch; ghost-BN moments)",
     )
+    parser.add_argument(
+        "--hoist_geometry",
+        type=int,
+        default=1,
+        choices=(0, 1),
+        help="with --accum_steps > 1: compute FPS/ball-query/3-NN once at "
+        "full batch width before the microbatch scan (full kernel "
+        "occupancy; Trainer.hoist_geometry). 0 = per-microbatch geometry",
+    )
     def window_arg(v: str):
         return v if v == "auto" else int(v)
 
@@ -257,6 +266,7 @@ def main() -> None:
         bq_window=flags.bq_window,
         fp_window=flags.fp_window,
         train_dtype=flags.train_dtype,
+        hoist_geometry=bool(flags.hoist_geometry),
     )
     state = trainer.init_state(jax.random.PRNGKey(flags.seed or 0))
     if flags.resume:
