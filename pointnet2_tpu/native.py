@@ -37,13 +37,27 @@ def _try_build() -> bool:
         return False
 
 
+def _is_stale() -> bool:
+    """True when the .so predates densify.cpp (must rebuild, never load)."""
+    src = _LIB_PATH.parent / "densify.cpp"
+    try:
+        return src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    except OSError:
+        return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building on first use if needed) the native library, or None."""
+    """Load (building on first use if needed) the native library, or None.
+
+    The .so is NOT tracked in git — it is always a local build product of
+    ``make -C native``. A stale binary (older than densify.cpp) is rebuilt
+    before loading so a source edit can never be shadowed by an old .so.
+    """
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    if not _LIB_PATH.exists() and not _try_build():
+    if (not _LIB_PATH.exists() or _is_stale()) and not _try_build():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))

@@ -54,6 +54,38 @@ def test_native_knn_exact(rng):
     np.testing.assert_allclose(d2, want_d2[0], rtol=1e-5, atol=1e-7)
 
 
+def test_native_lib_is_fresh_build_from_source(rng):
+    """The .so is a local build product (untracked): a binary older than
+    densify.cpp must be rebuilt by get_lib, never loaded stale."""
+    import os
+    import time
+
+    import pointnet2_tpu.native as native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    so = native._LIB_PATH
+    src = so.parent / "densify.cpp"
+    # Backdate the .so so it predates the source, then force a reload.
+    os.utime(so, (src.stat().st_mtime - 10, src.stat().st_mtime - 10))
+    native._lib = None
+    native._load_attempted = False
+    assert native._is_stale()
+    t0 = time.time()
+    lib = native.get_lib()
+    assert lib is not None
+    # get_lib must have rebuilt: the .so is now at least as new as the source.
+    assert so.stat().st_mtime >= src.stat().st_mtime, (
+        "stale libpn2native.so was loaded without rebuilding"
+    )
+    assert so.stat().st_mtime >= t0 - 1
+    # And the rebuilt library actually works.
+    sparse, labels, dense = _problem(rng, ns=50, nd=100)
+    got, _ = densify_labels(sparse, labels, dense, knn=3, engine="native")
+    want = reference.densify_labels_np(sparse, labels, dense, k=3)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_knn_larger_than_dataset_clamps(rng):
     sparse = rng.rand(2, 3).astype(np.float32)
     labels = np.array([4, 7], np.int32)
