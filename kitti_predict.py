@@ -45,8 +45,7 @@ def main() -> None:
     parser.add_argument("--dates", nargs="+", default=["2011_09_26"])
     parser.add_argument("--drives", nargs="+", default=["0095"])
 
-    def window_arg(v: str):
-        return v if v == "auto" else int(v)
+    from pointnet2_tpu.ops.calibrate import parse_window_arg as window_arg
 
     parser.add_argument(
         "--bq_window",

@@ -16,7 +16,7 @@ SUM_BY_NONZERO_WEIGHTS reduction).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,17 @@ class PointNet2SemSeg(nn.Module):
     # query, 3-NN) always run f32, so neighbor structure is bit-identical;
     # only MLP activations and the interpolation matmul change precision.
     compute_dtype: Optional[Any] = None
+    # SELECTIVE mixed precision: when set (with compute_dtype=bfloat16), a
+    # stage runs in compute_dtype only if its narrowest MLP width is >= this
+    # threshold; narrower stages stay f32. At 128 that keeps SA1 ([32,32,64])
+    # and SA2 ([64,64,128] — narrowest 64) in f32, where bf16's 7-bit
+    # mantissa costs the most relative precision per channel, while the wide
+    # SA3/SA4 encoders, the whole FP stack, and the head (>= 128 ch — the
+    # bulk of the FLOPs and activation traffic) take the bf16 speedup.
+    # Convergence-vs-throughput tradeoff measured in PERFORMANCE.md
+    # "Round 5: selective bf16" (tools/bf16_train_soak.py --min_width).
+    # None = uniform compute_dtype everywhere (the round-4 behavior).
+    compute_dtype_min_width: Optional[int] = None
     # True (default): treat the input point cloud as a GRADIENT LEAF — SA1
     # uses ops.project_group_leaf, whose scatter-free backward returns an
     # exactly-ZERO cotangent for `point_cloud` (parameter gradients are
@@ -64,12 +75,35 @@ class PointNet2SemSeg(nn.Module):
     # ("bq_window_ok" — True means outputs are bit-identical to the exact
     # kernel). Calibrate with tools/bq_window_calibrate.py; verify on real
     # batches with Trainer.check_bq_window. None (default) = exact full
-    # kernels everywhere.
-    bq_window: Optional[int] = None
+    # kernels everywhere. Either ONE int shared by every level (levels
+    # whose cloud is not larger than it statically run exact — with 3072
+    # only SA1's 8192-point cloud engages) or a 4-tuple of per-SA-level
+    # Optional[int] widths (round 5: lets the coarse levels engage windows
+    # sized to THEIR clouds, e.g. (3072, 768, None, None)).
+    bq_window: Union[int, Sequence[Optional[int]], None] = None
     # Calibrated 3-NN x-window for the FP decoder levels (same contract:
     # certificate sown as "fp_window_ok", checked by Trainer.check_bq_window;
     # coarse clouds not larger than the window run the full exact kernel).
-    fp_window: Optional[int] = None
+    # Int or per-FP-level 4-tuple, like bq_window (FP level i targets
+    # decoder stage i: fp1 interpolates level 3 from level 4, ..., fp4
+    # interpolates the raw cloud from level 1).
+    fp_window: Union[int, Sequence[Optional[int]], None] = None
+
+    def _bq_win(self, i: int) -> Optional[int]:
+        return _level_window(self.bq_window, i)
+
+    def _fp_win(self, i: int) -> Optional[int]:
+        return _level_window(self.fp_window, i)
+
+    def _stage_dtype(self, widths) -> Optional[Any]:
+        """Per-stage compute dtype under selective mixed precision."""
+        if self.compute_dtype is None or self.compute_dtype_min_width is None:
+            return self.compute_dtype
+        return (
+            self.compute_dtype
+            if min(widths) >= self.compute_dtype_min_width
+            else None
+        )
 
     @nn.compact
     def __call__(
@@ -98,8 +132,8 @@ class PointNet2SemSeg(nn.Module):
                 # backward can skip its scatter-add (ops.project_group_leaf).
                 # input_is_leaf=False opts out for input-gradient callers.
                 leaf_inputs=(i == 0) and self.input_is_leaf,
-                compute_dtype=self.compute_dtype,
-                bq_window=self.bq_window,
+                compute_dtype=self._stage_dtype(mlp),
+                bq_window=self._bq_win(i),
                 name=f"sa{i + 1}",
             )(
                 xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum,
@@ -114,8 +148,8 @@ class PointNet2SemSeg(nn.Module):
             feats[lvl] = FeaturePropagation(
                 mlp=mlp,
                 ops_impl=self.ops_impl,
-                compute_dtype=self.compute_dtype,
-                fp_window=self.fp_window,
+                compute_dtype=self._stage_dtype(mlp),
+                fp_window=self._fp_win(i),
                 name=f"fp{i + 1}",
             )(
                 xyzs[lvl],
@@ -129,7 +163,7 @@ class PointNet2SemSeg(nn.Module):
 
         net = nn.Dense(
             128,
-            dtype=self.compute_dtype,
+            dtype=self._stage_dtype([128]),
             kernel_init=nn.initializers.xavier_uniform(),
             name="fc1",
         )(feats[0])
@@ -144,13 +178,24 @@ class PointNet2SemSeg(nn.Module):
         return logits
 
 
+def _level_window(window, i: int) -> Optional[int]:
+    """Per-level window width from an int (shared) or a per-level sequence.
+
+    Sequences must have one entry per level (4 for the SSG flagship); a
+    None entry keeps that level on the exact full kernel.
+    """
+    if window is None or isinstance(window, int):
+        return window
+    return window[i]
+
+
 def precompute_geometry(
     point_cloud,
     *,
     config: Optional[Config] = None,
     ops_impl: Optional[str] = None,
-    bq_window: Optional[int] = None,
-    fp_window: Optional[int] = None,
+    bq_window: Union[int, Sequence[Optional[int]], None] = None,
+    fp_window: Union[int, Sequence[Optional[int]], None] = None,
 ):
     """Parameter-independent neighbor structure for PointNet2SemSeg.
 
@@ -185,11 +230,12 @@ def precompute_geometry(
     xyzs = [xyz]
     sa = []
     ok = jnp.ones((), bool)
-    for spec in cfg.sa_layers:
+    for li, spec in enumerate(cfg.sa_layers):
         _, new_xyz = ops.fps_centroids(xyzs[-1], spec.npoint, impl=ops_impl)
-        if bq_window is not None:
+        bq_w = _level_window(bq_window, li)
+        if bq_w is not None:
             idx, _, lvl_ok = ops.ball_query_calibrated(
-                xyzs[-1], new_xyz, spec.radius, spec.nsample, bq_window,
+                xyzs[-1], new_xyz, spec.radius, spec.nsample, bq_w,
                 impl=ops_impl,
             )
             ok = jnp.logical_and(ok, lvl_ok)
@@ -203,9 +249,10 @@ def precompute_geometry(
     fp = []
     for i in range(len(FP_MLPS)):
         lvl = 3 - i  # target level: 3, 2, 1, 0 (model.py:90-129)
-        if fp_window is not None:
+        fp_w = _level_window(fp_window, i)
+        if fp_w is not None:
             dist2, idx, lvl_ok = ops.three_nn_calibrated(
-                xyzs[lvl], xyzs[lvl + 1], fp_window, impl=ops_impl
+                xyzs[lvl], xyzs[lvl + 1], fp_w, impl=ops_impl
             )
             ok = jnp.logical_and(ok, lvl_ok)
         else:

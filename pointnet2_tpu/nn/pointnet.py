@@ -178,6 +178,14 @@ class SetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, points, *, train: bool, bn_momentum, geometry=None):
+        if geometry is not None and (self.group_all or self.use_knn):
+            # Precomputed geometry carries FPS centroids + BALL-QUERY
+            # indices (models.precompute_geometry); silently substituting
+            # them for kNN/group-all indices would change the math.
+            raise ValueError(
+                "precomputed geometry is only valid for the ball-query SSG "
+                f"path (got group_all={self.group_all}, use_knn={self.use_knn})"
+            )
         if self.group_all:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
                 xyz, points, self.use_xyz

@@ -28,6 +28,24 @@ import numpy as np
 _LANES = 128
 
 
+def parse_window_arg(v: str):
+    """CLI value for ``--bq_window`` / ``--fp_window``.
+
+    Accepts an int (one width shared by every level), the string ``auto``
+    (self-calibrate from sampled batches at startup), or a per-level comma
+    list like ``3072,768,-,-`` where ``-``/``none`` keeps that level on the
+    exact full kernel (PointNet2SemSeg.bq_window 4-tuple form).
+    """
+    if v == "auto":
+        return v
+    if "," in v:
+        return tuple(
+            None if s.strip().lower() in ("-", "none", "") else int(s)
+            for s in v.split(",")
+        )
+    return int(v)
+
+
 def required_bq_window(
     xyz: np.ndarray, queries: np.ndarray, radius: float
 ) -> int:

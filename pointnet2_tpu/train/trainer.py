@@ -14,7 +14,7 @@ TPU-first replacement for the reference train loop (train.py:333-465):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +127,14 @@ class Trainer:
     # cotangent accumulates in f32). Convergence vs f32 and step time are
     # measured in PERFORMANCE.md (tools/bf16_train_soak.py artifact).
     train_dtype: str = "float32"
+    # SELECTIVE mixed precision threshold (models.PointNet2SemSeg
+    # .compute_dtype_min_width): with a bfloat16 infer/train dtype, stages
+    # whose narrowest MLP width is below this stay f32. 128 keeps the
+    # narrow SA1/SA2 encoders f32 — the convergence-vs-throughput middle
+    # ground measured in PERFORMANCE.md "Round 5: selective bf16".
+    # None = uniform dtype (the round-4 behavior). Requires at least one
+    # of infer_dtype/train_dtype to be bfloat16.
+    bf16_min_width: Optional[int] = None
     # With accum_steps=G the BN EMA advances G times per optimizer step, so
     # the effective per-step decay is momentum**G — faster moving-stat
     # adaptation than the reference's bn_decay calibration as G grows.
@@ -146,11 +154,14 @@ class Trainer:
     # predict_step_checked returns (labels, ok) for inference CLIs, and
     # check_bq_window verifies a fresh batch on demand (bench.py gates its
     # production config on it). Calibrate with tools/bq_window_calibrate.py.
-    bq_window: Optional[int] = None
+    # Int (one width shared by every level) or a per-SA-level 4-sequence of
+    # Optional[int] (PointNet2SemSeg.bq_window).
+    bq_window: Union[int, Sequence[Optional[int]], None] = None
     # Calibrated 3-NN x-window for the FP decoder levels
     # (PointNet2SemSeg.fp_window): same contract and verification path as
-    # bq_window (check_bq_window collects BOTH certificates).
-    fp_window: Optional[int] = None
+    # bq_window (check_bq_window collects BOTH certificates). Int or
+    # per-FP-level 4-sequence.
+    fp_window: Union[int, Sequence[Optional[int]], None] = None
     # With accum_steps > 1: compute the parameter-independent neighbor
     # structure (FPS/ball query/3-NN — models.precompute_geometry) ONCE at
     # full batch width before the microbatch scan instead of once per
@@ -160,10 +171,18 @@ class Trainer:
     # production step). Mathematically identical — loss and BN moments
     # measure bit-identical; gradients pick up ~1e-6 XLA-fusion
     # reassociation noise (see models.precompute_geometry's exactness
-    # note). Measured in PERFORMANCE.md "Round 4: geometry hoisting".
+    # note). Measured in PERFORMANCE.md "Round 5: geometry hoisting"
+    # (artifacts/hoist-matrix-r5.txt): f32 accum-4 +window 21.4 -> 20.3 ms
+    # (6.45 M pts/s, 10.1x the measured train baseline without bf16).
     hoist_geometry: bool = True
 
     def __post_init__(self):
+        # Per-level window sequences normalize to tuples (hashable for the
+        # flax module / jit static args); ints and None pass through.
+        if self.bq_window is not None and not isinstance(self.bq_window, int):
+            self.bq_window = tuple(self.bq_window)
+        if self.fp_window is not None and not isinstance(self.fp_window, int):
+            self.fp_window = tuple(self.fp_window)
         self.model = PointNet2SemSeg(
             num_classes=self.num_classes,
             use_color=bool(self.cfg.use_color),
@@ -172,8 +191,14 @@ class Trainer:
             bq_window=self.bq_window,
             fp_window=self.fp_window,
         )
+        def bf16_clone():
+            return self.model.clone(
+                compute_dtype=jnp.bfloat16,
+                compute_dtype_min_width=self.bf16_min_width,
+            )
+
         if self.infer_dtype in ("bfloat16", "bf16"):
-            self.infer_model = self.model.clone(compute_dtype=jnp.bfloat16)
+            self.infer_model = bf16_clone()
         elif self.infer_dtype in ("float32", "f32"):
             self.infer_model = self.model
         else:
@@ -182,13 +207,20 @@ class Trainer:
                 "expected 'float32'/'bfloat16'"
             )
         if self.train_dtype in ("bfloat16", "bf16"):
-            self.train_model = self.model.clone(compute_dtype=jnp.bfloat16)
+            self.train_model = bf16_clone()
         elif self.train_dtype in ("float32", "f32"):
             self.train_model = self.model
         else:
             raise ValueError(
                 f"unknown train_dtype {self.train_dtype!r}, "
                 "expected 'float32'/'bfloat16'"
+            )
+        if self.bf16_min_width is not None and (
+            self.infer_model is self.model and self.train_model is self.model
+        ):
+            raise ValueError(
+                "bf16_min_width is set but neither infer_dtype nor "
+                "train_dtype is bfloat16 — it would silently do nothing"
             )
         if self.accum_steps < 1:
             raise ValueError(f"accum_steps must be >= 1, got {self.accum_steps}")

@@ -40,8 +40,7 @@ def main() -> None:
         help="inference compute dtype (bfloat16: production mode, ~99.6%% "
         "label agreement with float32 — see PERFORMANCE.md)",
     )
-    def window_arg(v: str):
-        return v if v == "auto" else int(v)
+    from pointnet2_tpu.ops.calibrate import parse_window_arg as window_arg
 
     parser.add_argument(
         "--bq_window",

@@ -231,3 +231,89 @@ class TestModelPlumbing:
         assert bool(_diag_ok(ok)) is True
         assert bool(_diag_ok(bad)) is False
         assert bool(_diag_ok({})) is True
+
+
+class TestPerLevelWindows:
+    """Per-SA-level window sequences (round 5): an int engages one shared
+    width everywhere; a 4-tuple picks each level's width independently
+    (None entries keep that level exact). XLA path on CPU: logits must be
+    IDENTICAL — this pins the per-level plumbing; kernel exactness per
+    width is TestBallQuerySliced's job (widths are level-independent)."""
+
+    def _logits_and_diag(self, model, variables, x):
+        return model.apply(
+            variables, x, train=False, bn_momentum=0.9,
+            mutable=["diagnostics"],
+        )
+
+    def test_tuple_of_equal_widths_matches_scalar(self, rng):
+        x = jnp.asarray(rng.rand(2, SMALL.num_point, 6), jnp.float32)
+        base = PointNet2SemSeg(num_classes=9, use_color=True, config=SMALL)
+        scalar = base.clone(bq_window=256, fp_window=128)
+        tup = base.clone(bq_window=(256,) * 4, fp_window=(128,) * 4)
+        v = base.init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False, bn_momentum=0.9
+        )
+        ls, ds = self._logits_and_diag(scalar, v, x)
+        lt, dt = self._logits_and_diag(tup, v, x)
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(lt))
+        assert len(jax.tree.leaves(ds["diagnostics"])) == len(
+            jax.tree.leaves(dt["diagnostics"])
+        )
+
+    def test_none_entries_keep_levels_exact(self, rng):
+        x = jnp.asarray(rng.rand(2, SMALL.num_point, 6), jnp.float32)
+        base = PointNet2SemSeg(num_classes=9, use_color=True, config=SMALL)
+        sel = base.clone(bq_window=(None, 256, None, None))
+        v = base.init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False, bn_momentum=0.9
+        )
+        lb = base.apply(v, x, train=False, bn_momentum=0.9)
+        lsel, diag = self._logits_and_diag(sel, v, x)
+        np.testing.assert_array_equal(np.asarray(lb), np.asarray(lsel))
+        # only the single engaged level sows a certificate
+        flags = jax.tree.leaves(diag["diagnostics"])
+        assert len(flags) == 1
+        assert bool(jnp.all(flags[0]))
+
+    def test_trainer_normalizes_lists_and_steps(self, rng):
+        tr = Trainer(
+            cfg=SMALL, bq_window=[None, 256, None, None],
+            fp_window=[128, None, None, None],
+        )
+        assert tr.bq_window == (None, 256, None, None)
+        assert tr.fp_window == (128, None, None, None)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        batch = {
+            "points": jnp.asarray(
+                rng.rand(SMALL.batch_size, SMALL.num_point, 6), jnp.float32
+            ),
+            "labels": jnp.asarray(
+                rng.randint(0, 9, (SMALL.batch_size, SMALL.num_point)),
+                jnp.int32,
+            ),
+            "weights": jnp.ones(
+                (SMALL.batch_size, SMALL.num_point), jnp.float32
+            ),
+        }
+        assert tr.check_bq_window(state, batch["points"]) is True
+        _, metrics = tr.train_step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert bool(metrics["window_ok"]) is True
+
+    def test_precompute_geometry_per_level_matches_scalar(self, rng):
+        from pointnet2_tpu.models import precompute_geometry
+
+        pts = jnp.asarray(rng.rand(2, SMALL.num_point, 6), jnp.float32)
+        g_scalar, ok_s = precompute_geometry(
+            pts, config=SMALL, bq_window=256, fp_window=128
+        )
+        g_tuple, ok_t = precompute_geometry(
+            pts, config=SMALL, bq_window=(256,) * 4, fp_window=(128,) * 4
+        )
+        assert bool(ok_s) and bool(ok_t)
+        jax.tree.map(
+            np.testing.assert_array_equal,
+            jax.tree.map(np.asarray, g_scalar),
+            jax.tree.map(np.asarray, g_tuple),
+        )

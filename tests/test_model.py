@@ -81,6 +81,28 @@ class TestSetAbstraction:
         assert new_points.shape == (1, 1, 8)
 
 
+    @pytest.mark.parametrize("mode", ["use_knn", "group_all"])
+    def test_geometry_rejected_for_non_ball_query_modes(self, rng, mode):
+        """Precomputed geometry carries ball-query indices; passing it to a
+        kNN/group-all SA must raise instead of silently substituting them."""
+        xyz = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+        sa = SetAbstraction(
+            npoint=16, radius=0.5, nsample=4, mlp=[8], **{mode: True}
+        )
+        variables = sa.init(
+            jax.random.PRNGKey(0), xyz, None, train=False, bn_momentum=0.9
+        )
+        geom = {
+            "new_xyz": jnp.zeros((1, 16, 3), jnp.float32),
+            "idx": jnp.zeros((1, 16, 4), jnp.int32),
+        }
+        with pytest.raises(ValueError, match="ball-query"):
+            sa.apply(
+                variables, xyz, None, train=False, bn_momentum=0.9,
+                geometry=geom,
+            )
+
+
 class TestFeaturePropagation:
     def test_shapes_and_exact_interp_at_source(self, rng):
         # A dense point co-located with a sparse point must (nearly) inherit
@@ -367,3 +389,87 @@ class TestBf16InferenceMode:
 
         with pytest.raises(ValueError, match="infer_dtype"):
             Trainer(cfg=SMALL, infer_dtype="float16")
+
+
+class TestSelectiveBf16:
+    """compute_dtype_min_width: per-stage precision selection (stages
+    narrower than the threshold stay f32 — Trainer.bf16_min_width)."""
+
+    def test_threshold_above_all_widths_is_exact_f32(self, rng):
+        """min_width larger than every MLP width must reproduce the f32
+        model bit-for-bit (every stage dtype resolves to None)."""
+        x = jnp.asarray(rng.rand(2, SMALL.num_point, 6), jnp.float32)
+        m32 = PointNet2SemSeg(config=SMALL)
+        msel = PointNet2SemSeg(
+            config=SMALL, compute_dtype=jnp.bfloat16,
+            compute_dtype_min_width=10_000,
+        )
+        v = _init(m32, x)
+        l32 = m32.apply(v, x, train=False, bn_momentum=0.9)
+        lsel = msel.apply(v, x, train=False, bn_momentum=0.9)
+        np.testing.assert_array_equal(np.asarray(l32), np.asarray(lsel))
+
+    def test_threshold_zero_is_uniform_bf16(self, rng):
+        """min_width 0 must reproduce the uniform-bf16 clone bit-for-bit."""
+        x = jnp.asarray(rng.rand(2, SMALL.num_point, 6), jnp.float32)
+        m16 = PointNet2SemSeg(config=SMALL, compute_dtype=jnp.bfloat16)
+        msel = PointNet2SemSeg(
+            config=SMALL, compute_dtype=jnp.bfloat16,
+            compute_dtype_min_width=0,
+        )
+        v = _init(m16, x)
+        l16 = m16.apply(v, x, train=False, bn_momentum=0.9)
+        lsel = msel.apply(v, x, train=False, bn_momentum=0.9)
+        np.testing.assert_array_equal(np.asarray(l16), np.asarray(lsel))
+
+    def test_selective_128_between_f32_and_bf16(self, rng):
+        """The production threshold (128): narrow SA1/SA2 run f32, the wide
+        stack bf16 — logits differ from BOTH endpoints (the mode is real)
+        and the selective error vs f32 is no worse than uniform bf16's."""
+        x = jnp.asarray(rng.rand(2, SMALL.num_point, 6), jnp.float32)
+        m32 = PointNet2SemSeg(config=SMALL)
+        m16 = PointNet2SemSeg(config=SMALL, compute_dtype=jnp.bfloat16)
+        msel = PointNet2SemSeg(
+            config=SMALL, compute_dtype=jnp.bfloat16,
+            compute_dtype_min_width=128,
+        )
+        v = _init(m32, x)
+        l32 = np.asarray(m32.apply(v, x, train=False, bn_momentum=0.9))
+        l16 = np.asarray(m16.apply(v, x, train=False, bn_momentum=0.9))
+        lsel = np.asarray(msel.apply(v, x, train=False, bn_momentum=0.9))
+        assert not np.array_equal(lsel, l32)
+        assert not np.array_equal(lsel, l16)
+        err_sel = float(np.abs(lsel - l32).max())
+        err_16 = float(np.abs(l16 - l32).max())
+        assert err_sel <= err_16 * 1.5  # selective never much worse at init
+
+    def test_trainer_wiring_and_validation(self, rng):
+        from pointnet2_tpu.train.trainer import Trainer
+
+        cfg = SMALL.replace(batch_size=4)
+        tr = Trainer(cfg=cfg, train_dtype="bfloat16", bf16_min_width=128)
+        assert tr.train_model.compute_dtype_min_width == 128
+        state = tr.init_state(jax.random.PRNGKey(0))
+        # params stay f32 (master weights)
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        batch = {
+            "points": jnp.asarray(
+                rng.rand(4, cfg.num_point, 6).astype(np.float32)
+            ),
+            "labels": jnp.asarray(
+                rng.randint(1, 9, (4, cfg.num_point)).astype(np.int32)
+            ),
+            "weights": jnp.ones((4, cfg.num_point), jnp.float32),
+        }
+        losses = []
+        for _ in range(8):
+            state, metrics = tr.train_step(
+                state, dict(batch), jax.random.PRNGKey(1)
+            )
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+        with pytest.raises(ValueError, match="bf16_min_width"):
+            Trainer(cfg=cfg, bf16_min_width=128)  # both dtypes f32

@@ -450,6 +450,20 @@ class TestGeometryHoisting:
             np.testing.assert_array_equal(np.asarray(g["idx"]), np.asarray(idx))
             xyz = new_xyz
 
+        # FP levels: idx bit-exact, dist2 to the documented ulp tolerance
+        # (XLA fuses the hoisted subgraph differently from the inline one).
+        xyzs = [pts[..., :3]] + [np.asarray(g["new_xyz"]) for g in geom["sa"]]
+        for i in range(4):
+            lvl = 3 - i  # target level order matches the FP decoder
+            dist2, idx = ops.three_nn(
+                jnp.asarray(xyzs[lvl]), jnp.asarray(xyzs[lvl + 1])
+            )
+            g = geom["fp"][i]
+            np.testing.assert_array_equal(np.asarray(g["idx"]), np.asarray(idx))
+            np.testing.assert_allclose(
+                np.asarray(g["dist2"]), np.asarray(dist2), rtol=1e-6, atol=1e-6
+            )
+
     def test_hoisted_step_matches_unhoisted(self, rng):
         """Same accum step with/without the hoist: loss and BN stats track
         to reassociation tolerance; the momentum update direction agrees

@@ -16,6 +16,11 @@ bit-reproducible per data/rng.py) so both runs consume identical data and
 any divergence is purely the compute dtype.
 
 Usage: python tools/bf16_train_soak.py [--steps 300] [--eval_batches 12]
+       [--min_width 128]
+--min_width W adds a third run: SELECTIVE mixed precision
+(Trainer(train_dtype="bfloat16", bf16_min_width=W)) — stages narrower than
+W stay f32 (the round-5 probe into the uniform-bf16 convergence gap: the
+hypothesis is the narrow SA1/SA2 encoders, not the wide stack, carry it).
 Writes the overlay table to stdout (redirect to artifacts/).
 """
 
@@ -28,7 +33,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def run(dtype, cfg, batches, val_batches, num_classes):
+def run(dtype, cfg, batches, val_batches, num_classes, min_width=None):
     import jax
 
     from pointnet2_tpu.train.trainer import Trainer
@@ -37,7 +42,7 @@ def run(dtype, cfg, batches, val_batches, num_classes):
 
     setup_compilation_cache()
 
-    trainer = Trainer(cfg=cfg, train_dtype=dtype)
+    trainer = Trainer(cfg=cfg, train_dtype=dtype, bf16_min_width=min_width)
     state = trainer.init_state(jax.random.PRNGKey(0))
     drng = jax.random.PRNGKey(1)
     losses = []
@@ -55,6 +60,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--eval_batches", type=int, default=12)
+    ap.add_argument(
+        "--min_width", type=int, default=None,
+        help="also run selective bf16 (Trainer.bf16_min_width)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -118,27 +127,43 @@ def main():
         for _ in range(args.eval_batches)
     ]
 
+    variants = [("f32", "float32", None), ("bf16", "bfloat16", None)]
+    if args.min_width is not None:
+        variants.append(
+            (f"bf16_sel{args.min_width}", "bfloat16", args.min_width)
+        )
     results = {}
-    for dtype in ("float32", "bfloat16"):
-        print(f"training {args.steps} steps in {dtype} ...", flush=True)
-        results[dtype] = run(dtype, cfg, batches, val_batches, NUM_CLASSES)
+    for name, dtype, mw in variants:
+        print(f"training {args.steps} steps in {name} ...", flush=True)
+        results[name] = run(
+            dtype, cfg, batches, val_batches, NUM_CLASSES, min_width=mw
+        )
 
-    (l32, acc32, miou32) = results["float32"]
-    (l16, acc16, miou16) = results["bfloat16"]
+    names = [v[0] for v in variants]
     print("\nloss-curve overlay (mean over 20-step windows):")
-    print(f"{'steps':>10} {'f32':>9} {'bf16':>9} {'bf16-f32':>9}")
+    hdr = " ".join(f"{n:>12}" for n in names)
+    dhdr = " ".join(f"{n + '-f32':>12}" for n in names[1:])
+    print(f"{'steps':>10} {hdr} {dhdr}")
     for s in range(0, args.steps, 20):
-        a = float(np.mean(l32[s:s + 20]))
-        b = float(np.mean(l16[s:s + 20]))
-        print(f"{s:>5}-{min(s + 20, args.steps):<4} {a:>9.4f} {b:>9.4f} {b - a:>+9.4f}")
-    print(f"\nfinal train loss: f32 {l32[-1]:.4f}  bf16 {l16[-1]:.4f}")
-    print(f"val accuracy:     f32 {acc32:.4f}  bf16 {acc16:.4f}  "
-          f"delta {acc16 - acc32:+.4f}")
-    print(f"val mIoU:         f32 {miou32:.4f}  bf16 {miou16:.4f}  "
-          f"delta {miou16 - miou32:+.4f}")
-    ok = abs(acc16 - acc32) < 0.02 and abs(miou16 - miou32) < 0.04
-    print("CONVERGENCE", "OK" if ok else "DIVERGED",
-          "(tolerance: |d acc| < 0.02, |d mIoU| < 0.04)")
+        means = [float(np.mean(results[n][0][s:s + 20])) for n in names]
+        vals = " ".join(f"{m:>12.4f}" for m in means)
+        deltas = " ".join(f"{m - means[0]:>+12.4f}" for m in means[1:])
+        print(f"{s:>5}-{min(s + 20, args.steps):<4} {vals} {deltas}")
+
+    l32, acc32, miou32 = results["f32"]
+    print("\nfinal train loss: " + "  ".join(
+        f"{n} {results[n][0][-1]:.4f}" for n in names))
+    print("val accuracy:     " + "  ".join(
+        f"{n} {results[n][1]:.4f} ({results[n][1] - acc32:+.4f})"
+        for n in names))
+    print("val mIoU:         " + "  ".join(
+        f"{n} {results[n][2]:.4f} ({results[n][2] - miou32:+.4f})"
+        for n in names))
+    for n in names[1:]:
+        _, acc, miou = results[n]
+        ok = abs(acc - acc32) < 0.02 and abs(miou - miou32) < 0.04
+        print(f"CONVERGENCE[{n}]", "OK" if ok else "DIVERGED",
+              "(tolerance: |d acc| < 0.02, |d mIoU| < 0.04)")
 
 
 if __name__ == "__main__":

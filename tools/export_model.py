@@ -31,17 +31,20 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=0, help="0 = symbolic batch")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--output", default="labels", choices=["labels", "logits"])
+    from pointnet2_tpu.ops.calibrate import parse_window_arg
+
     ap.add_argument(
         "--bq_window",
-        type=int,
+        type=parse_window_arg,
         default=None,
         help="calibrated ball-query x-window (tools/bq_window_calibrate.py); "
-        "the exported callable then returns (output, ok) with the per-batch "
+        "an int, or a per-level comma list like '3072,768,-,-'; the "
+        "exported callable then returns (output, ok) with the per-batch "
         "exactness certificate and the manifest records the width",
     )
     ap.add_argument(
         "--fp_window",
-        type=int,
+        type=parse_window_arg,
         default=None,
         help="calibrated 3-NN x-window for the FP decoder (see --bq_window)",
     )

@@ -10,11 +10,13 @@ splitting a large batch into microbatches should keep large-batch training
 at the small-batch rate.
 
 Usage: python tools/train_accum_bench.py [B[,B...]] [G[,G...]] [bq_window]
-       [fp_window] [train_dtype] [hoist]
+       [fp_window] [train_dtype] [hoist] [bf16_min_width]
 Defaults: B=16,32,64  G=1,2,4  bq_window=None  fp_window=None (exact full
 ball query / 3-NN)  train_dtype=float32 ('bfloat16' = mixed precision)
 hoist=1 (geometry hoisting for G>1, Trainer.hoist_geometry; pass 0 to
-measure the per-microbatch geometry baseline)
+measure the per-microbatch geometry baseline)  bf16_min_width=None
+(selective mixed precision threshold, Trainer.bf16_min_width; only with
+train_dtype=bfloat16)
 
 Data is sampled in the Semantic3D box regime (8 x 8 x 4.9 m uniform) —
 the default path's cost is data-independent (tools/bq_e2e_probe.py), and
@@ -44,10 +46,11 @@ setup_compilation_cache()
 
 
 def measure(cfg, B, accum, window=None, fp_window=None, train_dtype="float32",
-            hoist=True):
+            hoist=True, bf16_min_width=None):
     trainer = Trainer(
         cfg=cfg, accum_steps=accum, bq_window=window, fp_window=fp_window,
         train_dtype=train_dtype, hoist_geometry=hoist,
+        bf16_min_width=bf16_min_width,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
@@ -83,17 +86,25 @@ def main():
     window = opt_int(sys.argv[3]) if len(sys.argv) > 3 else None
     fp_window = opt_int(sys.argv[4]) if len(sys.argv) > 4 else None
     train_dtype = sys.argv[5] if len(sys.argv) > 5 else "float32"
-    hoist = (sys.argv[6] != "0") if len(sys.argv) > 6 else True
+    if len(sys.argv) > 6:
+        try:
+            hoist = {"0": False, "1": True}[sys.argv[6]]
+        except KeyError:
+            raise SystemExit(f"hoist must be 0 or 1, got {sys.argv[6]!r}")
+    else:
+        hoist = True
+    min_width = opt_int(sys.argv[7]) if len(sys.argv) > 7 else None
     cfg = Config()
     print(f"train step (fwd+bwd+Adam+metrics), N={cfg.num_point}, "
           f"bq_window={window}, fp_window={fp_window}, dtype={train_dtype}, "
-          f"hoist={hoist}")
+          f"hoist={hoist}, bf16_min_width={min_width}")
     print(f"{'batch':>6} {'accum':>6} {'micro':>6} {'ms/step':>9} {'M pts/s':>9}")
     for B in bs:
         for g in gs:
             if B % g:
                 continue
-            t = measure(cfg, B, g, window, fp_window, train_dtype, hoist)
+            t = measure(cfg, B, g, window, fp_window, train_dtype, hoist,
+                        min_width)
             rate = B * cfg.num_point / t / 1e6
             print(f"{B:>6} {g:>6} {B // g:>6} {t * 1e3:>9.1f} {rate:>9.2f}")
 

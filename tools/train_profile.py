@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--bq_window", type=int, default=None)
     ap.add_argument("--fp_window", type=int, default=None)
     ap.add_argument("--train_dtype", default="float32")
+    ap.add_argument("--bf16_min_width", type=int, default=None)
+    ap.add_argument("--hoist", type=int, choices=[0, 1], default=1)
     args = ap.parse_args()
 
     print("backend:", jax.default_backend())
@@ -49,6 +51,8 @@ def main():
     trainer = Trainer(
         cfg=cfg, accum_steps=args.accum, bq_window=args.bq_window,
         fp_window=args.fp_window, train_dtype=args.train_dtype,
+        bf16_min_width=args.bf16_min_width,
+        hoist_geometry=bool(args.hoist),
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)

@@ -52,15 +52,16 @@ def main() -> None:
         "full batch width before the microbatch scan (full kernel "
         "occupancy; Trainer.hoist_geometry). 0 = per-microbatch geometry",
     )
-    def window_arg(v: str):
-        return v if v == "auto" else int(v)
+    from pointnet2_tpu.ops.calibrate import parse_window_arg as window_arg
 
     parser.add_argument(
         "--bq_window",
         type=window_arg,
         default=None,
         help="calibrated ball-query x-window: an int from "
-        "tools/bq_window_calibrate.py, or 'auto' to self-calibrate from "
+        "tools/bq_window_calibrate.py, a per-SA-level comma list like "
+        "'3072,768,-,-' ('-' = exact at that level), or 'auto' to "
+        "self-calibrate from "
         "sampled training batches at startup; the sown exactness "
         "certificate is AND-ed across every train batch (checked at each "
         "epoch boundary) and verified on a validation batch at every eval "
@@ -81,6 +82,16 @@ def main() -> None:
         "MLP matmuls/activations; f32 master weights, BN stats, geometry "
         "ops, logits, loss — see Trainer.train_dtype); checkpoints stay "
         "f32 either way",
+    )
+    parser.add_argument(
+        "--bf16_min_width",
+        type=int,
+        default=None,
+        help="selective mixed precision: with --train_dtype bfloat16, "
+        "stages whose narrowest MLP width is below this stay f32 (128 "
+        "keeps the narrow SA1/SA2 encoders f32 — see "
+        "Trainer.bf16_min_width and PERFORMANCE.md 'Round 5: selective "
+        "bf16'). Default: uniform bf16",
     )
     parser.add_argument(
         "--dist_coordinator",
@@ -266,6 +277,7 @@ def main() -> None:
         bq_window=flags.bq_window,
         fp_window=flags.fp_window,
         train_dtype=flags.train_dtype,
+        bf16_min_width=flags.bf16_min_width,
         hoist_geometry=bool(flags.hoist_geometry),
     )
     state = trainer.init_state(jax.random.PRNGKey(flags.seed or 0))
