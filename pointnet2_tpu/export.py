@@ -16,7 +16,10 @@ a *self-contained, versioned StableHLO artifact*:
 
 Export on the platform you serve on (kernels are lowered for the lowering
 platform: TPU exports carry the Mosaic kernels, CPU exports the XLA-only
-op set — ``ops_impl`` dispatch happens at trace time).
+op set — ``ops_impl`` dispatch happens at trace time). One interaction:
+a SYMBOLIC batch dimension cannot lower through ``pallas_call`` (Mosaic
+grids need concrete shapes), so TPU exports need either a fixed ``batch``
+or ``ops_impl="xla"`` — :func:`export_model` raises with that guidance.
 """
 
 from __future__ import annotations
@@ -61,6 +64,21 @@ def export_model(
     """
     if output not in ("labels", "logits"):
         raise ValueError(f"unknown output {output!r}, expected labels/logits")
+    if batch is None and jax.default_backend() == "tpu" and (
+        getattr(trainer, "ops_impl", None) in (None, "pallas")
+    ):
+        # Mosaic kernels need concrete grid shapes: a symbolic batch
+        # dimension cannot lower through pallas_call (MemRefType rejects
+        # symbolic dims). Fail here with guidance instead of deep in
+        # jax.export's lowering.
+        raise ValueError(
+            "symbolic-batch export on TPU cannot carry the Mosaic kernels "
+            "(pallas_call needs concrete grid shapes). Either export with "
+            "a fixed batch (export_model(..., batch=N) / "
+            "tools/export_model.py --batch N), or build the Trainer with "
+            "ops_impl='xla' for a batch-polymorphic XLA-only artifact "
+            "(slower neighbor ops; see PERFORMANCE.md)."
+        )
     cfg = trainer.cfg
     # Calibrated-window serving: the artifact must carry the exactness
     # certificate with it — a served batch outside the calibrated span
@@ -123,7 +141,9 @@ def export_model(
         "input_dtype": "float32",
         "output": output,
         "num_classes": trainer.num_classes,
+        "arch": getattr(trainer, "arch", "ssg"),
         "infer_dtype": trainer.infer_dtype,
+        "bf16_min_width": getattr(trainer, "bf16_min_width", None),
         "window_certificate": checked,
         "bq_window": getattr(trainer, "bq_window", None),
         "fp_window": getattr(trainer, "fp_window", None),

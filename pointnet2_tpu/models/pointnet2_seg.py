@@ -277,14 +277,39 @@ class PointNet2SemSegMSG(nn.Module):
     config: Optional[Config] = None
     ops_impl: Optional[str] = None
     compute_dtype: Optional[Any] = None
-    # See PointNet2SemSeg.bq_window (MSG levels share one window —
-    # calibrate for the largest radius).
-    bq_window: Optional[int] = None
-    # See PointNet2SemSeg.fp_window.
-    fp_window: Optional[int] = None
+    # See PointNet2SemSeg.compute_dtype_min_width: stages whose narrowest
+    # MLP width (across every grouping scale at MSG levels — the first
+    # scale runs half-width MLPs) is below this stay f32.
+    compute_dtype_min_width: Optional[int] = None
+    # See PointNet2SemSeg.bq_window: int shared by every level (an MSG
+    # level's scales share one window — calibrate for the largest radius)
+    # or a per-SA-level 4-tuple.
+    bq_window: Union[int, Sequence[Optional[int]], None] = None
+    # See PointNet2SemSeg.fp_window (int or per-FP-level 4-tuple).
+    fp_window: Union[int, Sequence[Optional[int]], None] = None
+
+    def _stage_dtype(self, widths) -> Optional[Any]:
+        if self.compute_dtype is None or self.compute_dtype_min_width is None:
+            return self.compute_dtype
+        return (
+            self.compute_dtype
+            if min(widths) >= self.compute_dtype_min_width
+            else None
+        )
 
     @nn.compact
-    def __call__(self, point_cloud, *, train: bool = False, bn_momentum=0.9):
+    def __call__(
+        self, point_cloud, *, train: bool = False, bn_momentum=0.9,
+        geometry=None,
+    ):
+        if geometry is not None:
+            # Trainer's accum scan threads geometry=None when hoisting is
+            # off; precompute_geometry itself is SSG-only (an MSG level
+            # runs one ball query PER SCALE around shared centroids).
+            raise ValueError(
+                "PointNet2SemSegMSG does not take precomputed geometry "
+                "(models.precompute_geometry matches the SSG flagship only)"
+            )
         cfg = self.config or Config()
         l0_xyz = point_cloud[..., :3]
         l0_points = point_cloud[..., 3:6] if self.use_color else None
@@ -293,14 +318,15 @@ class PointNet2SemSegMSG(nn.Module):
         feats = [l0_points]
         for i, (spec, mlp) in enumerate(zip(cfg.sa_layers, SA_MLPS)):
             if i < 2:  # dense levels: two grouping scales
+                half = [c // 2 for c in mlp]
                 new_xyz, new_points = SetAbstractionMSG(
                     npoint=spec.npoint,
                     radius_list=(spec.radius / 2.0, spec.radius),
                     nsample_list=(max(spec.nsample // 2, 1), spec.nsample),
-                    mlp_list=([c // 2 for c in mlp], mlp),
+                    mlp_list=(half, mlp),
                     ops_impl=self.ops_impl,
-                    compute_dtype=self.compute_dtype,
-                    bq_window=self.bq_window,
+                    compute_dtype=self._stage_dtype(half + mlp),
+                    bq_window=_level_window(self.bq_window, i),
                     name=f"sa{i + 1}",
                 )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             else:
@@ -310,8 +336,8 @@ class PointNet2SemSegMSG(nn.Module):
                     nsample=spec.nsample,
                     mlp=mlp,
                     ops_impl=self.ops_impl,
-                    compute_dtype=self.compute_dtype,
-                    bq_window=self.bq_window,
+                    compute_dtype=self._stage_dtype(mlp),
+                    bq_window=_level_window(self.bq_window, i),
                     name=f"sa{i + 1}",
                 )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
             xyzs.append(new_xyz)
@@ -322,8 +348,8 @@ class PointNet2SemSegMSG(nn.Module):
             feats[lvl] = FeaturePropagation(
                 mlp=mlp,
                 ops_impl=self.ops_impl,
-                compute_dtype=self.compute_dtype,
-                fp_window=self.fp_window,
+                compute_dtype=self._stage_dtype(mlp),
+                fp_window=_level_window(self.fp_window, i),
                 name=f"fp{i + 1}",
             )(
                 xyzs[lvl],
@@ -336,7 +362,7 @@ class PointNet2SemSegMSG(nn.Module):
 
         net = nn.Dense(
             128,
-            dtype=self.compute_dtype,
+            dtype=self._stage_dtype([128]),
             kernel_init=nn.initializers.xavier_uniform(),
             name="fc1",
         )(feats[0])

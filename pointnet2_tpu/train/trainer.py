@@ -90,6 +90,13 @@ class Trainer:
 
     cfg: Config
     num_classes: int = 9
+    # Model architecture: "ssg" (the reference flagship, model.py:22-148)
+    # or "msg" (multi-scale grouping — the reference ships the MSG module,
+    # util/pointnet_util.py:219-282, but never trains it; here it is a
+    # first-class end-to-end choice: train.py/predict.py --arch msg).
+    # MSG caveat: precompute_geometry is SSG-only, so hoist_geometry is
+    # forced off (accum steps run the inline per-microbatch ops).
+    arch: str = "ssg"
     ops_impl: Optional[str] = None
     # Inference forwards run the batch in chunks of this size via lax.map:
     # the grouped tensors' HBM working set stays at the small-batch size,
@@ -179,18 +186,52 @@ class Trainer:
     def __post_init__(self):
         # Per-level window sequences normalize to tuples (hashable for the
         # flax module / jit static args); ints and None pass through.
-        if self.bq_window is not None and not isinstance(self.bq_window, int):
-            self.bq_window = tuple(self.bq_window)
-        if self.fp_window is not None and not isinstance(self.fp_window, int):
-            self.fp_window = tuple(self.fp_window)
-        self.model = PointNet2SemSeg(
-            num_classes=self.num_classes,
-            use_color=bool(self.cfg.use_color),
-            config=self.cfg,
-            ops_impl=self.ops_impl,
-            bq_window=self.bq_window,
-            fp_window=self.fp_window,
-        )
+        # Anything else — notably the CLI sentinel string "auto", which the
+        # CLIs must resolve via ops.calibrate BEFORE constructing a Trainer —
+        # fails fast here instead of deep inside a kernel.
+        def norm_window(name, w):
+            if w is None or isinstance(w, int):
+                return w
+            if isinstance(w, (list, tuple)) and all(
+                lvl is None or isinstance(lvl, int) for lvl in w
+            ):
+                return tuple(w)
+            raise TypeError(
+                f"{name} must be an int, None, or a sequence of int/None "
+                f"(got {w!r}); 'auto' is a CLI-level mode — resolve it with "
+                "pointnet2_tpu.ops.calibrate.calibrate_model_windows first"
+            )
+
+        self.bq_window = norm_window("bq_window", self.bq_window)
+        self.fp_window = norm_window("fp_window", self.fp_window)
+        if self.arch == "ssg":
+            self.model = PointNet2SemSeg(
+                num_classes=self.num_classes,
+                use_color=bool(self.cfg.use_color),
+                config=self.cfg,
+                ops_impl=self.ops_impl,
+                bq_window=self.bq_window,
+                fp_window=self.fp_window,
+            )
+        elif self.arch == "msg":
+            from pointnet2_tpu.models import PointNet2SemSegMSG
+
+            self.model = PointNet2SemSegMSG(
+                num_classes=self.num_classes,
+                use_color=bool(self.cfg.use_color),
+                config=self.cfg,
+                ops_impl=self.ops_impl,
+                bq_window=self.bq_window,
+                fp_window=self.fp_window,
+            )
+            # precompute_geometry matches the SSG flagship only (MSG levels
+            # run one ball query per scale around shared centroids); accum
+            # steps fall back to the inline per-microbatch neighbor ops.
+            self.hoist_geometry = False
+        else:
+            raise ValueError(
+                f"unknown arch {self.arch!r}, expected 'ssg'/'msg'"
+            )
         def bf16_clone():
             return self.model.clone(
                 compute_dtype=jnp.bfloat16,

@@ -40,6 +40,22 @@ def main() -> None:
         help="inference compute dtype (bfloat16: production mode, ~99.6%% "
         "label agreement with float32 — see PERFORMANCE.md)",
     )
+    parser.add_argument(
+        "--bf16_min_width",
+        type=int,
+        default=None,
+        help="selective mixed precision: with --dtype bfloat16, stages "
+        "whose narrowest MLP width is below this stay f32 (128 keeps the "
+        "narrow SA1/SA2 encoders f32 — PERFORMANCE.md 'Round 5: "
+        "selective bf16'). Default: uniform bfloat16",
+    )
+    parser.add_argument(
+        "--arch",
+        default="ssg",
+        choices=["ssg", "msg"],
+        help="model architecture — must match the checkpoint's "
+        "(train.py --arch)",
+    )
     from pointnet2_tpu.ops.calibrate import parse_window_arg as window_arg
 
     parser.add_argument(
@@ -171,8 +187,10 @@ def main() -> None:
         # Sharded mode: each device already holds only batch/n rows, so
         # the HBM-locality chunk loop would just serialize the devices.
         infer_chunk=0 if flags.sharded else 8,
+        arch=flags.arch,
         bq_window=flags.bq_window,
         fp_window=flags.fp_window,
+        bf16_min_width=flags.bf16_min_width,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)

@@ -317,3 +317,33 @@ class TestPerLevelWindows:
             jax.tree.map(np.asarray, g_scalar),
             jax.tree.map(np.asarray, g_tuple),
         )
+
+    def test_trainer_rejects_unresolved_window_strings(self):
+        """The CLI sentinel 'auto' must be resolved BEFORE Trainer
+        construction (predict.py/train.py/tools/export_model.py all
+        calibrate first); a leaked string fails fast, not deep in a
+        kernel (the export_model.py regression this pins)."""
+        from pointnet2_tpu.train.trainer import Trainer
+
+        with pytest.raises(TypeError, match="auto"):
+            Trainer(cfg=SMALL, bq_window="auto")
+        with pytest.raises(TypeError, match="calibrate"):
+            Trainer(cfg=SMALL, fp_window="auto")
+        with pytest.raises(TypeError, match="fp_window"):
+            Trainer(cfg=SMALL, fp_window=(128, "x", None, None))
+
+    def test_msg_model_accepts_per_level_windows(self, rng):
+        from pointnet2_tpu.models import PointNet2SemSegMSG
+
+        x = jnp.asarray(rng.rand(1, SMALL.num_point, 6), jnp.float32)
+        base = PointNet2SemSegMSG(num_classes=9, use_color=True, config=SMALL)
+        sel = base.clone(bq_window=(256, None, None, None))
+        rngs = {"params": jax.random.PRNGKey(0)}
+        v = base.init(rngs, x, train=False, bn_momentum=0.9)
+        lb = base.apply(v, x, train=False, bn_momentum=0.9)
+        ls, diag = sel.apply(
+            v, x, train=False, bn_momentum=0.9, mutable=["diagnostics"]
+        )
+        np.testing.assert_array_equal(np.asarray(lb), np.asarray(ls))
+        # only SA1's two scales sow certificates
+        assert len(jax.tree.leaves(diag["diagnostics"])) == 2

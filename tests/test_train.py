@@ -534,3 +534,74 @@ class TestGeometryHoisting:
         last = float(metrics["loss"])
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first * 0.9, (first, last)
+
+
+class TestMSGArch:
+    """Trainer(arch='msg'): the MSG variant as a first-class end-to-end
+    choice (the reference ships the MSG module, util/pointnet_util.py:
+    219-282, but never trains it)."""
+
+    def test_unknown_arch_rejected(self):
+        with pytest.raises(ValueError, match="arch"):
+            Trainer(cfg=TINY, arch="ssg2")
+
+    def test_msg_loss_decreases(self, rng):
+        trainer = Trainer(cfg=TINY, arch="msg")
+        assert trainer.hoist_geometry is False  # SSG-only optimization
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, TINY)
+        drng = jax.random.PRNGKey(42)
+        first = None
+        for i in range(12):
+            state, metrics = trainer.train_step(state, dict(batch), drng)
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.9, (first, last)
+
+    def test_msg_accum_trains(self, rng):
+        """MSG + gradient accumulation (inline per-microbatch geometry —
+        hoisting is forced off): the scan path must accept the MSG model
+        (geometry=None threads through its guard) and train. Ghost-BN
+        moments + per-microbatch dropout folds make the loss legitimately
+        differ from the monolithic step (~0.5% at init), so the assertion
+        is convergence, not equality — the SSG accumulation oracle tests
+        already pin the accumulation math itself."""
+        batch = _synthetic_batch(rng, TINY)
+        trainer = Trainer(cfg=TINY, arch="msg", accum_steps=2)
+        assert trainer.hoist_geometry is False
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        drng = jax.random.PRNGKey(42)
+        first = None
+        for i in range(12):
+            state, metrics = trainer.train_step(state, dict(batch), drng)
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.9, (first, last)
+        assert int(state.step) == 12
+
+    def test_msg_selective_bf16_infer(self, rng):
+        """MSG + selective precision: eval forward (BN-folded bf16) runs
+        and the threshold reaches the infer model."""
+        trainer = Trainer(
+            cfg=TINY, arch="msg", infer_dtype="bfloat16", bf16_min_width=128
+        )
+        assert trainer.infer_model.compute_dtype_min_width == 128
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        pts = _synthetic_batch(rng, TINY)["points"]
+        labels = trainer.predict_step(state, pts)
+        assert labels.shape == (TINY.batch_size, TINY.num_point)
+        assert bool(jnp.all((labels >= 0) & (labels < 9)))
+
+    def test_msg_geometry_kwarg_rejected(self, rng):
+        from pointnet2_tpu.models import PointNet2SemSegMSG
+
+        m = PointNet2SemSegMSG(num_classes=9, use_color=True, config=TINY)
+        x = jnp.asarray(rng.rand(1, TINY.num_point, 6), jnp.float32)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False,
+                   bn_momentum=0.9)
+        with pytest.raises(ValueError, match="SSG flagship only"):
+            m.apply(v, x, train=False, bn_momentum=0.9, geometry={})

@@ -184,6 +184,56 @@ def test_train_cli_train_batch_certificate_abort(trained, monkeypatch):
         sys.argv = old
 
 
+def test_train_cli_msg_arch_then_predict(trained, tmp_path):
+    """--arch msg end-to-end: the MSG variant trains through the real CLI
+    (checkpoints written, eval runs) and predict.py --arch msg restores
+    its checkpoint and writes sparse artifacts (a mismatched arch would
+    fail the orbax restore on tree structure)."""
+    base, cfg_path = trained
+    logdir = str(base / "log_msg")
+    cfg = Config.from_json(cfg_path).replace(logdir=logdir)
+    cfg_path2 = base / "cfg_msg.json"
+    cfg.to_json(cfg_path2)
+
+    argv = [
+        "train.py", "--config_file", str(cfg_path2), "--seed", "0",
+        "--max_epoch", "1", "--arch", "msg",
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        import train
+
+        train.main()
+    finally:
+        sys.argv = old
+    text = (base / "log_msg" / "log_train.txt").read_text()
+    assert "mean loss" in text and "eval accuracy" in text
+
+    sparse_dir = tmp_path / "sparse_msg"
+    argv = [
+        "predict.py",
+        "--ckpt", str(base / "log_msg" / "model_autosave"),
+        "--set", "validation",
+        "--config_file", str(cfg_path2),
+        "--num_samples", "1",
+        "--batch_size", "4",
+        "--arch", "msg",
+        "--output_dir", str(sparse_dir),
+    ]
+    sys.argv = argv
+    try:
+        import predict
+
+        predict.main()
+    finally:
+        sys.argv = old
+    from pointnet2_tpu.data.semantic3d import validation_file_prefixes
+
+    for prefix in validation_file_prefixes:
+        assert (sparse_dir / f"{prefix}.labels").exists()
+
+
 def test_train_cli_eval_certificate_abort(trained, monkeypatch):
     """A failed validation-batch window certificate aborts the eval epoch
     with an actionable error (certificates AND-ed on device across eval

@@ -48,6 +48,27 @@ def main() -> None:
         default=None,
         help="calibrated 3-NN x-window for the FP decoder (see --bq_window)",
     )
+    ap.add_argument(
+        "--bf16_min_width",
+        type=int,
+        default=None,
+        help="selective mixed precision threshold for --dtype bfloat16 "
+        "(Trainer.bf16_min_width; 128 keeps the narrow SA1/SA2 encoders "
+        "f32 — PERFORMANCE.md 'Round 5: selective bf16')",
+    )
+    ap.add_argument(
+        "--calibration_set",
+        default="train",
+        help="dataset split sampled for --bq_window/--fp_window auto "
+        "calibration (needs cfg.data_path scenes on disk)",
+    )
+    ap.add_argument(
+        "--arch",
+        default="ssg",
+        choices=["ssg", "msg"],
+        help="model architecture — must match the checkpoint's "
+        "(train.py --arch)",
+    )
     flags = ap.parse_args()
 
     import jax
@@ -57,11 +78,64 @@ def main() -> None:
     from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
 
     cfg = Config.from_json(flags.config_file)
+    if flags.bq_window == "auto" or flags.fp_window == "auto":
+        # Same self-calibration as predict.py/train.py: sample real batches
+        # from the dataset named by the config and pick per-op-safe widths.
+        # Serving exports bake the width into the artifact; the exported
+        # callable still returns the per-batch exactness certificate.
+        import numpy as np
+
+        from pointnet2_tpu.data.semantic3d import SemanticDataset
+        from pointnet2_tpu.ops.calibrate import calibrate_model_windows
+
+        try:
+            dataset = SemanticDataset(
+                num_points_per_sample=cfg.num_point,
+                split=flags.calibration_set,
+                box_size_x=cfg.box_size_x,
+                box_size_y=cfg.box_size_y,
+                use_color=bool(cfg.use_color),
+                path=cfg.data_path,
+                seed=0,
+            )
+        except (OSError, ValueError) as e:
+            ap.error(
+                "--bq_window/--fp_window auto needs calibration data "
+                f"(cfg.data_path={cfg.data_path!r}, split="
+                f"{flags.calibration_set!r}: {e}); pass integer widths "
+                "from tools/bq_window_calibrate.py instead"
+            )
+        crng = np.random.RandomState(0)
+
+        def sample_xyz() -> "np.ndarray":
+            fd = dataset.list_file_data[crng.randint(len(dataset.list_file_data))]
+            centered, _, _, _ = fd.sample_batch(
+                batch_size=8, num_points_per_sample=cfg.num_point
+            )
+            return centered
+
+        auto_bq, auto_fp = calibrate_model_windows(
+            sa_specs=[(s.npoint, s.radius) for s in cfg.sa_layers],
+            num_point=cfg.num_point,
+            sample_xyz=sample_xyz,
+            num_batches=8,
+        )
+        if flags.bq_window == "auto":
+            flags.bq_window = auto_bq
+        if flags.fp_window == "auto":
+            flags.fp_window = auto_fp
+        print(
+            f"auto window calibration: bq_window={flags.bq_window}, "
+            f"fp_window={flags.fp_window} (None = windowing would not "
+            "engage; full exact kernels run)"
+        )
     trainer = Trainer(
         cfg=cfg,
+        arch=flags.arch,
         infer_dtype=flags.dtype,
         bq_window=flags.bq_window,
         fp_window=flags.fp_window,
+        bf16_min_width=flags.bf16_min_width,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = restore_checkpoint(os.path.abspath(flags.ckpt), state)

@@ -52,6 +52,9 @@ def _train_baseline_pps() -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="ssg", choices=["ssg", "msg"],
+                    help="model architecture (Trainer.arch); msg forces "
+                    "per-microbatch geometry (hoisting is SSG-only)")
     ap.add_argument("--train_dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--bf16_min_width", type=int, default=None)
@@ -77,6 +80,7 @@ def main() -> None:
     B = args.batch
     trainer = Trainer(
         cfg=cfg,
+        arch=args.arch,
         accum_steps=args.accum,
         bq_window=args.bq_window,
         train_dtype=args.train_dtype,
@@ -115,12 +119,13 @@ def main() -> None:
     pps = B * cfg.num_point / step_time
     line = json.dumps(
         {
-            "metric": "pointnet2_ssg_train_step_points_per_sec",
+            "metric": f"pointnet2_{args.arch}_train_step_points_per_sec",
             "value": round(pps, 1),
             "unit": "points/sec/chip",
             "vs_baseline": round(pps / _train_baseline_pps(), 3),
             "ms_per_step": round(step_time * 1e3, 2),
             "config": {
+                "arch": args.arch,
                 "batch": B,
                 "num_point": cfg.num_point,
                 "accum_steps": args.accum,
@@ -128,7 +133,8 @@ def main() -> None:
                 "fp_window": None,
                 "train_dtype": args.train_dtype,
                 "bf16_min_width": args.bf16_min_width,
-                "hoist_geometry": bool(args.hoist),
+                # Trainer forces this off for msg; record the effective value.
+                "hoist_geometry": trainer.hoist_geometry,
                 "window_certified": certified,
             },
         }

@@ -55,6 +55,10 @@ def main():
                     help="int or 'auto' — forwarded to train.py")
     ap.add_argument("--train_dtype", default=None,
                     help="float32/bfloat16 — forwarded to train.py")
+    ap.add_argument("--bf16_min_width", default=None,
+                    help="selective bf16 threshold — forwarded to train.py")
+    ap.add_argument("--hoist_geometry", default=None,
+                    help="0/1 — forwarded to train.py")
     args = ap.parse_args()
 
     from pointnet2_tpu.config import Config
@@ -97,6 +101,10 @@ def main():
         sys.argv += ["--fp_window", str(args.fp_window)]
     if args.train_dtype is not None:
         sys.argv += ["--train_dtype", str(args.train_dtype)]
+    if args.bf16_min_width is not None:
+        sys.argv += ["--bf16_min_width", str(args.bf16_min_width)]
+    if args.hoist_geometry is not None:
+        sys.argv += ["--hoist_geometry", str(args.hoist_geometry)]
     import train
 
     train.main()

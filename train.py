@@ -94,6 +94,16 @@ def main() -> None:
         "bf16'). Default: uniform bf16",
     )
     parser.add_argument(
+        "--arch",
+        default="ssg",
+        choices=["ssg", "msg"],
+        help="model architecture: 'ssg' (the reference flagship) or 'msg' "
+        "(multi-scale grouping — the reference ships the module, "
+        "util/pointnet_util.py:219-282, but never trains it; here it is "
+        "end-to-end trainable). MSG runs per-microbatch geometry "
+        "(hoisting is SSG-only)",
+    )
+    parser.add_argument(
         "--dist_coordinator",
         default=None,
         help="host:port of process 0 for jax.distributed; enables "
@@ -273,6 +283,7 @@ def main() -> None:
     trainer = Trainer(
         cfg=cfg,
         num_classes=train_ds.num_classes,
+        arch=flags.arch,
         accum_steps=flags.accum_steps,
         bq_window=flags.bq_window,
         fp_window=flags.fp_window,
