@@ -40,6 +40,13 @@ def main() -> None:
         help="write a colorized PNG per frame to result/frames/ (the headless "
         "equivalent of the reference's live visualizer, kitti_predict.py:151-204)",
     )
+    parser.add_argument(
+        "--arch",
+        default="ssg",
+        choices=["ssg", "msg"],
+        help="model architecture — must match the checkpoint's "
+        "(train.py --arch)",
+    )
     parser.add_argument("--kitti_root", default="", required=True)
     parser.add_argument("--config_file", default="semantic_no_color.json")
     parser.add_argument("--dates", nargs="+", default=["2011_09_26"])
@@ -129,6 +136,7 @@ def main() -> None:
     trainer = Trainer(
         cfg=cfg,
         num_classes=dataset.num_classes,
+        arch=flags.arch,
         bq_window=flags.bq_window,
         fp_window=flags.fp_window,
     )

@@ -189,6 +189,18 @@ def _level_window(window, i: int) -> Optional[int]:
     return window[i]
 
 
+def msg_scales(spec) -> tuple:
+    """The MSG dense-level grouping scales derived from an SALayerSpec.
+
+    Single source of truth shared by PointNet2SemSegMSG and
+    precompute_geometry: ((radius/2, nsample/2), (radius, nsample)).
+    """
+    return (
+        (spec.radius / 2.0, max(spec.nsample // 2, 1)),
+        (spec.radius, spec.nsample),
+    )
+
+
 def precompute_geometry(
     point_cloud,
     *,
@@ -196,6 +208,7 @@ def precompute_geometry(
     ops_impl: Optional[str] = None,
     bq_window: Union[int, Sequence[Optional[int]], None] = None,
     fp_window: Union[int, Sequence[Optional[int]], None] = None,
+    arch: str = "ssg",
 ):
     """Parameter-independent neighbor structure for PointNet2SemSeg.
 
@@ -222,27 +235,42 @@ def precompute_geometry(
     Returns ``(geometry, ok)``: ``geometry`` is a pytree of per-sample
     arrays (leading batch axis; slice it per microbatch), ``ok`` the AND of
     the calibrated-window exactness certificates (constant True when both
-    windows are None). Matches the SSG flagship only (the geometry the
-    reference model computes per level, model.py:22-148).
+    windows are None). ``arch`` selects the model whose per-level geometry
+    is produced: "ssg" (the reference flagship, model.py:22-148) or "msg"
+    (PointNet2SemSegMSG: the two dense levels carry one ball-query index
+    set PER SCALE, ``idx`` becomes a tuple).
     """
+    if arch not in ("ssg", "msg"):
+        raise ValueError(f"unknown arch {arch!r}, expected 'ssg'/'msg'")
     cfg = config or Config()
     xyz = point_cloud[..., :3].astype(jnp.float32)
     xyzs = [xyz]
     sa = []
     ok = jnp.ones((), bool)
+
+    def query(cloud, centroids, radius, nsample, bq_w):
+        nonlocal ok
+        if bq_w is not None:
+            idx, _, lvl_ok = ops.ball_query_calibrated(
+                cloud, centroids, radius, nsample, bq_w, impl=ops_impl
+            )
+            ok = jnp.logical_and(ok, lvl_ok)
+            return idx
+        idx, _ = ops.ball_query(
+            cloud, centroids, radius, nsample, impl=ops_impl
+        )
+        return idx
+
     for li, spec in enumerate(cfg.sa_layers):
         _, new_xyz = ops.fps_centroids(xyzs[-1], spec.npoint, impl=ops_impl)
         bq_w = _level_window(bq_window, li)
-        if bq_w is not None:
-            idx, _, lvl_ok = ops.ball_query_calibrated(
-                xyzs[-1], new_xyz, spec.radius, spec.nsample, bq_w,
-                impl=ops_impl,
+        if arch == "msg" and li < 2:  # dense levels: one idx per scale
+            idx = tuple(
+                query(xyzs[-1], new_xyz, r, k, bq_w)
+                for r, k in msg_scales(spec)
             )
-            ok = jnp.logical_and(ok, lvl_ok)
         else:
-            idx, _ = ops.ball_query(
-                xyzs[-1], new_xyz, spec.radius, spec.nsample, impl=ops_impl
-            )
+            idx = query(xyzs[-1], new_xyz, spec.radius, spec.nsample, bq_w)
         sa.append({"new_xyz": new_xyz, "idx": idx})
         xyzs.append(new_xyz)
 
@@ -302,14 +330,6 @@ class PointNet2SemSegMSG(nn.Module):
         self, point_cloud, *, train: bool = False, bn_momentum=0.9,
         geometry=None,
     ):
-        if geometry is not None:
-            # Trainer's accum scan threads geometry=None when hoisting is
-            # off; precompute_geometry itself is SSG-only (an MSG level
-            # runs one ball query PER SCALE around shared centroids).
-            raise ValueError(
-                "PointNet2SemSegMSG does not take precomputed geometry "
-                "(models.precompute_geometry matches the SSG flagship only)"
-            )
         cfg = self.config or Config()
         l0_xyz = point_cloud[..., :3]
         l0_points = point_cloud[..., 3:6] if self.use_color else None
@@ -317,18 +337,23 @@ class PointNet2SemSegMSG(nn.Module):
         xyzs = [l0_xyz]
         feats = [l0_points]
         for i, (spec, mlp) in enumerate(zip(cfg.sa_layers, SA_MLPS)):
-            if i < 2:  # dense levels: two grouping scales
+            geom_i = None if geometry is None else geometry["sa"][i]
+            if i < 2:  # dense levels: two grouping scales (msg_scales)
                 half = [c // 2 for c in mlp]
+                scales = msg_scales(spec)
                 new_xyz, new_points = SetAbstractionMSG(
                     npoint=spec.npoint,
-                    radius_list=(spec.radius / 2.0, spec.radius),
-                    nsample_list=(max(spec.nsample // 2, 1), spec.nsample),
+                    radius_list=tuple(r for r, _ in scales),
+                    nsample_list=tuple(k for _, k in scales),
                     mlp_list=(half, mlp),
                     ops_impl=self.ops_impl,
                     compute_dtype=self._stage_dtype(half + mlp),
                     bq_window=_level_window(self.bq_window, i),
                     name=f"sa{i + 1}",
-                )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
+                )(
+                    xyzs[-1], feats[-1], train=train,
+                    bn_momentum=bn_momentum, geometry=geom_i,
+                )
             else:
                 new_xyz, new_points, _ = SetAbstraction(
                     npoint=spec.npoint,
@@ -339,7 +364,10 @@ class PointNet2SemSegMSG(nn.Module):
                     compute_dtype=self._stage_dtype(mlp),
                     bq_window=_level_window(self.bq_window, i),
                     name=f"sa{i + 1}",
-                )(xyzs[-1], feats[-1], train=train, bn_momentum=bn_momentum)
+                )(
+                    xyzs[-1], feats[-1], train=train,
+                    bn_momentum=bn_momentum, geometry=geom_i,
+                )
             xyzs.append(new_xyz)
             feats.append(new_points)
 
@@ -358,6 +386,7 @@ class PointNet2SemSegMSG(nn.Module):
                 feats[lvl + 1],
                 train=train,
                 bn_momentum=bn_momentum,
+                geometry=None if geometry is None else geometry["fp"][i],
             )
 
         net = nn.Dense(

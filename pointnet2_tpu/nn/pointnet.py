@@ -388,13 +388,29 @@ class SetAbstractionMSG(nn.Module):
     bq_window: Optional[int] = None
 
     @nn.compact
-    def __call__(self, xyz, points, *, train: bool, bn_momentum):
-        fps_idx, new_xyz = ops.fps_centroids(xyz, self.npoint, impl=self.ops_impl)
+    def __call__(self, xyz, points, *, train: bool, bn_momentum, geometry=None):
+        if geometry is not None:
+            # Precomputed geometry (models.precompute_geometry(arch="msg")):
+            # shared FPS centroids + one ball-query index set PER SCALE.
+            # The window certificates come from the hoisted ops, so no sows
+            # here (mirrors SetAbstraction's geometry path).
+            if len(geometry["idx"]) != len(self.radius_list):
+                raise ValueError(
+                    f"geometry carries {len(geometry['idx'])} index sets "
+                    f"for {len(self.radius_list)} grouping scales"
+                )
+            new_xyz = geometry["new_xyz"]
+        else:
+            fps_idx, new_xyz = ops.fps_centroids(
+                xyz, self.npoint, impl=self.ops_impl
+            )
         scale_feats = []
         for i, (radius, nsample) in enumerate(
             zip(self.radius_list, self.nsample_list)
         ):
-            if self.bq_window is not None:
+            if geometry is not None:
+                idx = geometry["idx"][i]
+            elif self.bq_window is not None:
                 idx, _, ok = ops.ball_query_calibrated(
                     xyz, new_xyz, radius, nsample, self.bq_window,
                     impl=self.ops_impl,

@@ -94,8 +94,8 @@ class Trainer:
     # or "msg" (multi-scale grouping — the reference ships the MSG module,
     # util/pointnet_util.py:219-282, but never trains it; here it is a
     # first-class end-to-end choice: train.py/predict.py --arch msg).
-    # MSG caveat: precompute_geometry is SSG-only, so hoist_geometry is
-    # forced off (accum steps run the inline per-microbatch ops).
+    # Geometry hoisting works for both (precompute_geometry(arch=...)
+    # emits per-scale index sets for MSG's dense levels).
     arch: str = "ssg"
     ops_impl: Optional[str] = None
     # Inference forwards run the batch in chunks of this size via lax.map:
@@ -224,10 +224,6 @@ class Trainer:
                 bq_window=self.bq_window,
                 fp_window=self.fp_window,
             )
-            # precompute_geometry matches the SSG flagship only (MSG levels
-            # run one ball query per scale around shared centroids); accum
-            # steps fall back to the inline per-microbatch neighbor ops.
-            self.hoist_geometry = False
         else:
             raise ValueError(
                 f"unknown arch {self.arch!r}, expected 'ssg'/'msg'"
@@ -407,6 +403,7 @@ class Trainer:
                 ops_impl=self.ops_impl,
                 bq_window=self.bq_window,
                 fp_window=self.fp_window,
+                arch=self.arch,
             )
             xs["geom"] = jax.tree.map(to_micro, geom)
 

@@ -547,7 +547,6 @@ class TestMSGArch:
 
     def test_msg_loss_decreases(self, rng):
         trainer = Trainer(cfg=TINY, arch="msg")
-        assert trainer.hoist_geometry is False  # SSG-only optimization
         state = trainer.init_state(jax.random.PRNGKey(0))
         batch = _synthetic_batch(rng, TINY)
         drng = jax.random.PRNGKey(42)
@@ -561,16 +560,16 @@ class TestMSGArch:
         assert last < first * 0.9, (first, last)
 
     def test_msg_accum_trains(self, rng):
-        """MSG + gradient accumulation (inline per-microbatch geometry —
-        hoisting is forced off): the scan path must accept the MSG model
-        (geometry=None threads through its guard) and train. Ghost-BN
-        moments + per-microbatch dropout folds make the loss legitimately
-        differ from the monolithic step (~0.5% at init), so the assertion
-        is convergence, not equality — the SSG accumulation oracle tests
+        """MSG + gradient accumulation with the default hoisted geometry
+        (precompute_geometry(arch='msg')): the scan path must accept the
+        per-scale geometry pytree and train. Ghost-BN moments +
+        per-microbatch dropout folds make the loss legitimately differ
+        from the monolithic step (~0.5% at init), so the assertion is
+        convergence, not equality — the SSG accumulation oracle tests
         already pin the accumulation math itself."""
         batch = _synthetic_batch(rng, TINY)
         trainer = Trainer(cfg=TINY, arch="msg", accum_steps=2)
-        assert trainer.hoist_geometry is False
+        assert trainer.hoist_geometry is True
         state = trainer.init_state(jax.random.PRNGKey(0))
         drng = jax.random.PRNGKey(42)
         first = None
@@ -582,6 +581,70 @@ class TestMSGArch:
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first * 0.9, (first, last)
         assert int(state.step) == 12
+
+    def test_msg_precompute_matches_inline_ops_chain(self, rng):
+        """precompute_geometry(arch='msg'): dense levels carry one
+        bit-exact ball-query index set per msg_scales scale; coarse
+        levels and FP match the SSG chain."""
+        from pointnet2_tpu import ops
+        from pointnet2_tpu.models import precompute_geometry
+        from pointnet2_tpu.models.pointnet2_seg import msg_scales
+
+        pts = jnp.asarray(rng.rand(4, TINY.num_point, 6).astype(np.float32))
+        geom, ok = jax.jit(
+            lambda p: precompute_geometry(p, config=TINY, arch="msg")
+        )(pts)
+        assert bool(ok)
+
+        xyz = pts[..., :3]
+        for lvl, spec in enumerate(TINY.sa_layers):
+            _, new_xyz = ops.fps_centroids(xyz, spec.npoint)
+            g = geom["sa"][lvl]
+            np.testing.assert_array_equal(
+                np.asarray(g["new_xyz"]), np.asarray(new_xyz)
+            )
+            if lvl < 2:
+                assert isinstance(g["idx"], tuple) and len(g["idx"]) == 2
+                for (r, k), got in zip(msg_scales(spec), g["idx"]):
+                    idx, _ = ops.ball_query(xyz, new_xyz, r, k)
+                    np.testing.assert_array_equal(
+                        np.asarray(got), np.asarray(idx)
+                    )
+            else:
+                idx, _ = ops.ball_query(
+                    xyz, new_xyz, spec.radius, spec.nsample
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(g["idx"]), np.asarray(idx)
+                )
+            xyz = new_xyz
+
+    def test_msg_hoisted_step_matches_unhoisted(self, rng):
+        """MSG accum step with/without the hoist: loss equal to
+        reassociation tolerance, confusion identical, BN stats track."""
+        cfg = TINY.replace(optimizer="momentum")
+        hoisted = Trainer(cfg=cfg, arch="msg", accum_steps=2,
+                          hoist_geometry=True)
+        inline = Trainer(cfg=cfg, arch="msg", accum_steps=2,
+                         hoist_geometry=False)
+        s_h = hoisted.init_state(jax.random.PRNGKey(0))
+        s_i = inline.init_state(jax.random.PRNGKey(0))
+        batch = _synthetic_batch(rng, cfg, b=8)
+
+        n_h, m_h = hoisted.train_step(s_h, dict(batch), jax.random.PRNGKey(3))
+        n_i, m_i = inline.train_step(s_i, dict(batch), jax.random.PRNGKey(3))
+
+        assert float(m_h["loss"]) == pytest.approx(float(m_i["loss"]), rel=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(m_h["confusion"]), np.asarray(m_i["confusion"])
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            n_h.batch_stats,
+            n_i.batch_stats,
+        )
 
     def test_msg_selective_bf16_infer(self, rng):
         """MSG + selective precision: eval forward (BN-folded bf16) runs
@@ -596,12 +659,39 @@ class TestMSGArch:
         assert labels.shape == (TINY.batch_size, TINY.num_point)
         assert bool(jnp.all((labels >= 0) & (labels < 9)))
 
-    def test_msg_geometry_kwarg_rejected(self, rng):
-        from pointnet2_tpu.models import PointNet2SemSegMSG
+    def test_msg_sharded_accum_step_on_mesh(self, rng):
+        """MSG production shape under SPMD: accum + hoisted per-scale
+        geometry over a batch-sharded 8-device mesh — finite loss,
+        params replicated."""
+        mesh = create_mesh()
+        trainer = Trainer(cfg=TINY, arch="msg", accum_steps=2)
+        assert trainer.hoist_geometry is True
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = shard_batch(_synthetic_batch(rng, TINY, b=8), mesh)
+        state, metrics = trainer.train_step(
+            state, batch, jax.random.PRNGKey(0)
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
 
-        m = PointNet2SemSegMSG(num_classes=9, use_color=True, config=TINY)
-        x = jnp.asarray(rng.rand(1, TINY.num_point, 6), jnp.float32)
-        v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False,
-                   bn_momentum=0.9)
-        with pytest.raises(ValueError, match="SSG flagship only"):
-            m.apply(v, x, train=False, bn_momentum=0.9, geometry={})
+    def test_msg_scale_count_mismatch_rejected(self, rng):
+        """SetAbstractionMSG validates the per-scale index count of a
+        precomputed geometry entry (a silently-dropped scale would change
+        the math)."""
+        from pointnet2_tpu.nn.pointnet import SetAbstractionMSG
+
+        sa = SetAbstractionMSG(
+            npoint=16, radius_list=(0.2, 0.4), nsample_list=(4, 8),
+            mlp_list=([8], [8]),
+        )
+        xyz = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+        v = sa.init({"params": jax.random.PRNGKey(0)}, xyz, None,
+                    train=False, bn_momentum=0.9)
+        bad = {
+            "new_xyz": xyz[:, :16],
+            "idx": (jnp.zeros((2, 16, 4), jnp.int32),),  # one set, two scales
+        }
+        with pytest.raises(ValueError, match="grouping scales"):
+            sa.apply(v, xyz, None, train=False, bn_momentum=0.9,
+                     geometry=bad)

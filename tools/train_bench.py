@@ -53,8 +53,7 @@ def _train_baseline_pps() -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="ssg", choices=["ssg", "msg"],
-                    help="model architecture (Trainer.arch); msg forces "
-                    "per-microbatch geometry (hoisting is SSG-only)")
+                    help="model architecture (Trainer.arch)")
     ap.add_argument("--train_dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--bf16_min_width", type=int, default=None)

@@ -100,8 +100,8 @@ def main() -> None:
         help="model architecture: 'ssg' (the reference flagship) or 'msg' "
         "(multi-scale grouping — the reference ships the module, "
         "util/pointnet_util.py:219-282, but never trains it; here it is "
-        "end-to-end trainable). MSG runs per-microbatch geometry "
-        "(hoisting is SSG-only)",
+        "end-to-end trainable, incl. hoisted geometry and calibrated "
+        "windows)",
     )
     parser.add_argument(
         "--dist_coordinator",
