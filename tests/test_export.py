@@ -108,6 +108,21 @@ def test_selective_bf16_export(rng, tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_msg_arch_export_round_trip(rng, tmp_path):
+    """--arch msg serving: the manifest records the arch and the artifact
+    reproduces the live MSG predict path exactly."""
+    trainer = Trainer(cfg=SMALL, arch="msg")
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    out = str(tmp_path / "export_msg")
+    manifest = export_model(trainer, state, out, batch=2, output="labels")
+    assert manifest["arch"] == "msg"
+    fn, _ = load_exported(out)
+    pts = _points(rng, 2)
+    got = np.asarray(fn(pts))
+    want = np.asarray(trainer.predict_step(state, pts))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_symbolic_batch_with_pallas_rejected(tmp_path, monkeypatch):
     """On TPU a symbolic batch cannot lower through pallas_call (Mosaic
     grids need concrete shapes) — export_model must raise the guidance

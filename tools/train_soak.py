@@ -59,6 +59,8 @@ def main():
                     help="selective bf16 threshold — forwarded to train.py")
     ap.add_argument("--hoist_geometry", default=None,
                     help="0/1 — forwarded to train.py")
+    ap.add_argument("--arch", default=None,
+                    help="ssg/msg — forwarded to train.py")
     args = ap.parse_args()
 
     from pointnet2_tpu.config import Config
@@ -105,6 +107,8 @@ def main():
         sys.argv += ["--bf16_min_width", str(args.bf16_min_width)]
     if args.hoist_geometry is not None:
         sys.argv += ["--hoist_geometry", str(args.hoist_geometry)]
+    if args.arch is not None:
+        sys.argv += ["--arch", str(args.arch)]
     import train
 
     train.main()
