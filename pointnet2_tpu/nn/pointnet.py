@@ -63,15 +63,26 @@ def sample_and_group(
             idx, _ = ball_query_fn(xyz, new_xyz)
         else:
             idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample, impl=impl)
-    grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
     if points is not None:
-        grouped_points = ops.group_points(points, idx)
+        # ONE row gather for coords AND features: row gathers are
+        # addressing-bound (cost ~ row count, not width — see the round-5
+        # fused sort-gather, PERFORMANCE.md), so gathering the
+        # concatenated rows once costs ~one gather, not two.
+        # Bit-identical: gather∘concat == concat∘gather; the f32 round
+        # trip on a lower-precision `points` is exact (widening), and the
+        # astype restores the original dtype for the use_xyz=False path.
+        grouped_all = ops.group_points(
+            jnp.concatenate([xyz, points.astype(xyz.dtype)], axis=-1), idx
+        )
+        grouped_xyz = grouped_all[..., :3] - new_xyz[:, :, None, :]
+        grouped_points = grouped_all[..., 3:].astype(points.dtype)
         new_points = (
             jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
             if use_xyz
             else grouped_points
         )
     else:
+        grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
         new_points = grouped_xyz
     return new_xyz, new_points, idx, grouped_xyz
 
@@ -420,15 +431,29 @@ class SetAbstractionMSG(nn.Module):
                 idx, _ = ops.ball_query(
                     xyz, new_xyz, radius, nsample, impl=self.ops_impl
                 )
-            grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
-                grouped = ops.group_points(points, idx)
+                # One combined row gather (see sample_and_group): two
+                # gathers over the same idx become one — MSG pays this
+                # per scale per dense level.
+                grouped_all = ops.group_points(
+                    jnp.concatenate(
+                        [xyz, points.astype(xyz.dtype)], axis=-1
+                    ),
+                    idx,
+                )
+                grouped_xyz = (
+                    grouped_all[..., :3] - new_xyz[:, :, None, :]
+                )
+                gp = grouped_all[..., 3:].astype(points.dtype)
                 grouped = (
-                    jnp.concatenate([grouped, grouped_xyz], axis=-1)
+                    jnp.concatenate([gp, grouped_xyz], axis=-1)
                     if self.use_xyz
-                    else grouped
+                    else gp
                 )
             else:
+                grouped_xyz = (
+                    ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+                )
                 grouped = grouped_xyz
             feats = SharedMLP(
                 self.mlp_list[i],
