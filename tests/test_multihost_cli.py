@@ -100,35 +100,77 @@ def tiny_scene_cfg(tmp_path_factory):
     return base, cfg, cfg_path
 
 
-@pytest.mark.timeout(900)
+# Distributed-init failure signatures that justify ONE retry: two-process
+# Gloo rendezvous is timing-sensitive and can miss its connect window on a
+# loaded CI machine (observed once in a full-suite run sharing the host
+# with a TPU benchmark; the test passes in isolation). Numeric/semantic
+# assertion failures never match these and stay strict.
+_DIST_FLAKE_SIGNS = (
+    "Gloo",
+    "timed out",
+    "Timed out",
+    "DEADLINE_EXCEEDED",
+    "UNAVAILABLE",
+    "Connection refused",
+    "jax.distributed.initialize",
+    "rendezvous stall",  # our own hung-worker placeholder below
+)
+
+
+@pytest.mark.timeout(1200)
 def test_two_process_train_cli(tiny_scene_cfg):
     base, cfg, cfg_path = tiny_scene_cfg
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "multihost_cli_worker.py")
-    port = _free_port()
     env = {
         k: v
         for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, worker, str(i), "2", str(port), str(cfg_path),
-                "--seed", "0", "--dist_sampling", "replicated",
-            ],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            env=env,
-        )
-        for i in range(2)
-    ]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=840)
-        logs.append(out.decode(errors="replace"))
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    def launch():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, worker, str(i), "2", str(port),
+                    str(cfg_path),
+                    "--seed", "0", "--dist_sampling", "replicated",
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        logs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                logs.append(out.decode(errors="replace"))
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            for p in procs:
+                p.wait()
+            while len(logs) < 2:
+                logs.append("<hung: killed after timeout (rendezvous stall)>")
+        return procs, logs
+
+    for attempt in range(2):
+        procs, logs = launch()
+        if all(p.returncode == 0 for p in procs):
+            break
+        flaky = any(s in log for log in logs for s in _DIST_FLAKE_SIGNS)
+        if attempt == 0 and flaky:
+            # clean slate: a partially-written logdir would confuse the
+            # single-epoch artifact assertions below
+            import shutil
+
+            shutil.rmtree(cfg.logdir, ignore_errors=True)
+            continue
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 
     logdir = cfg.logdir
     # process-0-only artifacts: the log reports the global 8-device mesh
