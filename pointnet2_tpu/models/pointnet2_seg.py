@@ -309,6 +309,9 @@ class PointNet2SemSegMSG(nn.Module):
     # MLP width (across every grouping scale at MSG levels — the first
     # scale runs half-width MLPs) is below this stay f32.
     compute_dtype_min_width: Optional[int] = None
+    # See PointNet2SemSeg.input_is_leaf: SA1's scales use the scatter-free
+    # leaf-train backward; set False for input-gradient callers.
+    input_is_leaf: bool = True
     # See PointNet2SemSeg.bq_window: int shared by every level (an MSG
     # level's scales share one window — calibrate for the largest radius)
     # or a per-SA-level 4-tuple.
@@ -348,6 +351,7 @@ class PointNet2SemSegMSG(nn.Module):
                     mlp_list=(half, mlp),
                     ops_impl=self.ops_impl,
                     compute_dtype=self._stage_dtype(half + mlp),
+                    leaf_inputs=(i == 0) and self.input_is_leaf,
                     bq_window=_level_window(self.bq_window, i),
                     name=f"sa{i + 1}",
                 )(

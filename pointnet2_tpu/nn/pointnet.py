@@ -393,6 +393,21 @@ class SetAbstractionMSG(nn.Module):
     use_bn: bool = True
     ops_impl: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    # True (default): each scale delegates to a pre-projected
+    # SetAbstraction submodule ("scale{i}") sharing the level's FPS
+    # centroids via the geometry seam — the scale's layer-1 Dense runs
+    # once over the N cloud rows instead of over the M*K grouped rows
+    # (k-fold fewer layer-1 FLOPs), the gather moves f0-wide rows, and
+    # leaf_inputs' scatter-free train backward applies. Numerically
+    # equivalent to the group-then-MLP form (same algebra as
+    # SetAbstraction.pre_project; equivalence pinned in
+    # tests/test_preproject.py::test_msg_pre_projected_equivalent).
+    # False keeps the literal grouped-first-layer formulation
+    # (util/pointnet_util.py:219-282 layout).
+    pre_project: bool = True
+    # See SetAbstraction.leaf_inputs: True when (xyz, points) are raw
+    # inputs (gradient leaves) — the train backward skips its scatter-add.
+    leaf_inputs: bool = False
     # Calibrated ball-query window shared by every scale (calibrate for the
     # LARGEST radius — wider-than-needed windows stay exact). See
     # SetAbstraction.bq_window.
@@ -431,6 +446,28 @@ class SetAbstractionMSG(nn.Module):
                 idx, _ = ops.ball_query(
                     xyz, new_xyz, radius, nsample, impl=self.ops_impl
                 )
+            if self.pre_project:
+                # The scale IS a SetAbstraction around the shared
+                # centroids: hand it the (new_xyz, idx) pair through the
+                # geometry seam and inherit the pre-projected forward,
+                # the leaf-train backward, and the BN-fold param layout.
+                _, feats_i, _ = SetAbstraction(
+                    npoint=self.npoint,
+                    radius=radius,
+                    nsample=nsample,
+                    mlp=list(self.mlp_list[i]),
+                    use_xyz=self.use_xyz,
+                    use_bn=self.use_bn,
+                    ops_impl=self.ops_impl,
+                    compute_dtype=self.compute_dtype,
+                    leaf_inputs=self.leaf_inputs,
+                    name=f"scale{i}",
+                )(
+                    xyz, points, train=train, bn_momentum=bn_momentum,
+                    geometry={"new_xyz": new_xyz, "idx": idx},
+                )
+                scale_feats.append(feats_i)
+                continue
             if points is not None:
                 # One combined row gather (see sample_and_group): two
                 # gathers over the same idx become one — MSG pays this

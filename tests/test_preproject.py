@@ -98,6 +98,74 @@ def test_pre_projected_train_mode_runs(rng):
     assert "bn0" in mutated["batch_stats"]
 
 
+def test_msg_pre_projected_equivalent(rng):
+    """SetAbstractionMSG(pre_project=True) — per-scale SetAbstraction
+    delegation — must match the literal grouped-first-layer formulation
+    with the same weights (rows reordered: the old grouped columns are
+    [points, xyz_offsets], the pre-projected input is [xyz, points])."""
+    from pointnet2_tpu.nn.pointnet import SetAbstractionMSG
+
+    xyz = jnp.asarray(rng.rand(2, 128, 3), jnp.float32)
+    feats = jnp.asarray(rng.rand(2, 128, 5), jnp.float32)
+    c = feats.shape[-1]
+
+    base = SetAbstractionMSG(
+        npoint=32, radius_list=(0.25, 0.5), nsample_list=(4, 8),
+        mlp_list=([8, 16], [16, 32]), pre_project=False,
+    )
+    pre = base.clone(pre_project=True)
+    vb = base.init(
+        jax.random.PRNGKey(0), xyz, feats, train=False, bn_momentum=0.9
+    )
+
+    def remap_scale(mlp):
+        k = mlp["dense_0"]["kernel"]
+        out = {
+            "w0": jnp.concatenate([k[c:], k[:c]], axis=0),
+            "b0": mlp["dense_0"]["bias"],
+            "bn0": mlp["bn_0"],
+        }
+        rest = {}
+        i = 1
+        while f"dense_{i}" in mlp:
+            rest[f"dense_{i - 1}"] = mlp[f"dense_{i}"]
+            if f"bn_{i}" in mlp:
+                rest[f"bn_{i - 1}"] = mlp[f"bn_{i}"]
+            i += 1
+        if rest:
+            out["mlp_rest"] = rest
+        return out
+
+    def remap_stats(mlp):
+        out = {"bn0": mlp["bn_0"]}
+        rest = {}
+        i = 1
+        while f"bn_{i}" in mlp:
+            rest[f"bn_{i - 1}"] = mlp[f"bn_{i}"]
+            i += 1
+        if rest:
+            out["mlp_rest"] = rest
+        return out
+
+    vp = {
+        "params": {
+            f"scale{s}": remap_scale(vb["params"][f"mlp_{s}"])
+            for s in (0, 1)
+        },
+        "batch_stats": {
+            f"scale{s}": remap_stats(vb["batch_stats"][f"mlp_{s}"])
+            for s in (0, 1)
+        },
+    }
+
+    xyz_b, out_b = base.apply(vb, xyz, feats, train=False, bn_momentum=0.9)
+    xyz_p, out_p = pre.apply(vp, xyz, feats, train=False, bn_momentum=0.9)
+    np.testing.assert_allclose(np.asarray(xyz_b), np.asarray(xyz_p))
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_p), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_leaf_inputs_grads_match_scatter_route(rng):
     """SetAbstraction(leaf_inputs=True) (SA1's scatter-free backward) gives
     the same parameter gradients as the autodiff scatter-add route."""
