@@ -51,12 +51,17 @@ def sample_and_group(
     it to route through the calibrated-window query when configured.
     ``geometry`` supplies precomputed ``{"new_xyz", "idx"}`` (see
     models.precompute_geometry), skipping FPS and the radius search — the
-    gradient-accumulation hoist computes them ONCE at full batch width.
+    gradient-accumulation hoist computes them ONCE at full batch width. A
+    centroids-only ``{"new_xyz"}`` dict skips just FPS (SetAbstractionMSG
+    shares one FPS across its grouping scales this way).
     """
-    if geometry is not None:
+    if geometry is not None and "idx" in geometry:
         new_xyz, idx = geometry["new_xyz"], geometry["idx"]
     else:
-        fps_idx, new_xyz = ops.fps_centroids(xyz, npoint, impl=impl)
+        if geometry is not None:
+            new_xyz = geometry["new_xyz"]
+        else:
+            _, new_xyz = ops.fps_centroids(xyz, npoint, impl=impl)
         if use_knn:
             _, idx = ops.knn(xyz, new_xyz, nsample, impl=impl)
         elif ball_query_fn is not None:
@@ -189,10 +194,14 @@ class SetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, points, *, train: bool, bn_momentum, geometry=None):
-        if geometry is not None and (self.group_all or self.use_knn):
+        if geometry is not None and (
+            self.group_all or (self.use_knn and "idx" in geometry)
+        ):
             # Precomputed geometry carries FPS centroids + BALL-QUERY
             # indices (models.precompute_geometry); silently substituting
             # them for kNN/group-all indices would change the math.
+            # (Centroids-only geometry is grouping-mode independent, but
+            # group_all has no FPS to hoist at all.)
             raise ValueError(
                 "precomputed geometry is only valid for the ball-query SSG "
                 f"path (got group_all={self.group_all}, use_knn={self.use_knn})"
@@ -249,12 +258,16 @@ class SetAbstraction(nn.Module):
             # accumulation hoist ran FPS/ball query once at full batch
             # width; per-sample values are mathematically identical (the
             # kernels are batch-independent — see the exactness note on
-            # precompute_geometry for the ulp-level caveat).
+            # precompute_geometry for the ulp-level caveat). A
+            # centroids-only {"new_xyz"} dict (no "idx") hoists just FPS:
+            # grouping still runs here, including the fused windowed eval
+            # path (SetAbstractionMSG shares one FPS across scales so).
             new_xyz = geometry["new_xyz"]
         else:
             fps_idx, new_xyz = ops.fps_centroids(
                 xyz, self.npoint, impl=self.ops_impl
             )
+        has_idx = geometry is not None and "idx" in geometry
 
         # Fused windowed grouping (EVAL only): the calibrated ball query and
         # the zp gather share one x-sorted pass — the gather rides two
@@ -267,7 +280,7 @@ class SetAbstraction(nn.Module):
         # path (narrow C: the windowed kernel loses there — probe), and
         # train-mode BN batch moments would reassociate under permutation.
         fused_window = (
-            geometry is None
+            not has_idx
             and self.bq_window is not None
             and not self.use_knn
             and not train
@@ -312,7 +325,7 @@ class SetAbstraction(nn.Module):
                 )(new_points, train=train, bn_momentum=bn_momentum)
             return new_xyz, new_points, idx
 
-        if geometry is not None:
+        if has_idx:
             idx = geometry["idx"]
         elif self.use_knn:
             _, idx = ops.knn(xyz, new_xyz, self.nsample, impl=self.ops_impl)
@@ -430,11 +443,26 @@ class SetAbstractionMSG(nn.Module):
             fps_idx, new_xyz = ops.fps_centroids(
                 xyz, self.npoint, impl=self.ops_impl
             )
+        # EVAL + window + pre_project: delegate GROUPING to each scale too
+        # (centroids-only geometry), so SetAbstraction's fused windowed
+        # grouping path runs per scale (ops.project_group_calibrated — the
+        # block-DMA gather that beats the XLA row gather 1.9x at SA1). The
+        # x-sort/gather preamble inside project_group_sliced depends only
+        # on (xyz, inputs, new_xyz) — identical across scales — so XLA CSE
+        # shares it; only the per-scale windowed kernels differ.
+        fused_window = (
+            geometry is None
+            and self.pre_project
+            and self.bq_window is not None
+            and not train
+        )
         scale_feats = []
         for i, (radius, nsample) in enumerate(
             zip(self.radius_list, self.nsample_list)
         ):
-            if geometry is not None:
+            if fused_window:
+                idx = None  # the delegated scale computes its own grouping
+            elif geometry is not None:
                 idx = geometry["idx"][i]
             elif self.bq_window is not None:
                 idx, _, ok = ops.ball_query_calibrated(
@@ -461,10 +489,15 @@ class SetAbstractionMSG(nn.Module):
                     ops_impl=self.ops_impl,
                     compute_dtype=self.compute_dtype,
                     leaf_inputs=self.leaf_inputs,
+                    bq_window=self.bq_window if fused_window else None,
                     name=f"scale{i}",
                 )(
                     xyz, points, train=train, bn_momentum=bn_momentum,
-                    geometry={"new_xyz": new_xyz, "idx": idx},
+                    geometry=(
+                        {"new_xyz": new_xyz}
+                        if fused_window
+                        else {"new_xyz": new_xyz, "idx": idx}
+                    ),
                 )
                 scale_feats.append(feats_i)
                 continue

@@ -276,9 +276,12 @@ class TestMSGModel:
         logits = model.apply(variables, x, train=False)
         assert logits.shape == (2, 256, 9)
         assert np.isfinite(np.asarray(logits)).all()
-        # MSG levels concatenate two scales: params exist for both mlp branches
-        assert "mlp_0" in variables["params"]["sa1"]
-        assert "mlp_1" in variables["params"]["sa1"]
+        # MSG levels concatenate two scales: params exist for both scale
+        # branches (pre-projected SetAbstraction submodules; the literal
+        # grouped-first-layer layout keeps the mlp_{i} names under
+        # pre_project=False — tests/test_preproject.py pins equivalence)
+        assert "scale0" in variables["params"]["sa1"]
+        assert "scale1" in variables["params"]["sa1"]
 
     def test_train_step_decreases_loss(self, rng):
         from pointnet2_tpu.models import PointNet2SemSegMSG, weighted_ce_loss

@@ -170,3 +170,58 @@ class TestModelFusedPath:
         np.testing.assert_array_equal(
             np.asarray(logits_base), np.asarray(logits_wind)
         )
+
+
+class TestMSGFusedPath:
+    def test_msg_eval_logits_bit_equal_on_pallas_path(self, rng):
+        """MSG model, ops_impl='pallas' in interpret mode: each grouping
+        scale delegates through the centroids-only geometry seam and runs
+        the fused windowed grouping (project_group_calibrated) — logits
+        must stay bit-identical to the exact pallas forward."""
+        from pointnet2_tpu.models import PointNet2SemSegMSG
+
+        x = jnp.asarray(rng.rand(1, FUSED.num_point, 6), jnp.float32)
+        base = PointNet2SemSegMSG(
+            num_classes=9, use_color=True, config=FUSED, ops_impl="pallas"
+        )
+        wind = base.clone(bq_window=768)
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        with pltpu.force_tpu_interpret_mode():
+            variables = base.init(rngs, x, train=False, bn_momentum=0.9)
+            logits_base = base.apply(variables, x, train=False, bn_momentum=0.9)
+            logits_wind, diag = wind.apply(
+                variables, x, train=False, bn_momentum=0.9,
+                mutable=["diagnostics"],
+            )
+        flags = jax.tree.leaves(diag["diagnostics"])
+        # one certificate per grouping scale at the two dense MSG levels
+        # (2 + 2, sown inside the delegated scale modules) + one per SSG
+        # coarse level (levels whose cloud <= window fall back statically
+        # with a constant-True certificate)
+        assert len(flags) == 6, "2+2 MSG scale certs + 2 SSG level certs"
+        assert all(bool(jnp.all(f)) for f in flags)
+        np.testing.assert_array_equal(
+            np.asarray(logits_base), np.asarray(logits_wind)
+        )
+
+    def test_msg_eval_logits_equal_on_xla_path(self, rng):
+        """CPU/XLA dispatch: the fused delegation's fallback (exact query +
+        project-then-gather) must match the exact path bit-for-bit —
+        project_group_leaf's forward IS project-then-gather."""
+        from pointnet2_tpu.models import PointNet2SemSegMSG
+
+        x = jnp.asarray(rng.rand(1, FUSED.num_point, 6), jnp.float32)
+        base = PointNet2SemSegMSG(
+            num_classes=9, use_color=True, config=FUSED, ops_impl="xla"
+        )
+        wind = base.clone(bq_window=768)
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        variables = base.init(rngs, x, train=False, bn_momentum=0.9)
+        logits_base = base.apply(variables, x, train=False, bn_momentum=0.9)
+        logits_wind, _ = wind.apply(
+            variables, x, train=False, bn_momentum=0.9,
+            mutable=["diagnostics"],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(logits_base), np.asarray(logits_wind)
+        )
